@@ -1,0 +1,223 @@
+"""Command-line interface.
+
+Covers the reference's user-facing command surface (README.md:29-105,
+src/cmds.h): convert, search (self / query-vs-DB / prefiltered), alignpair,
+pdb2ss, bca_stats, plus encode utilities.
+
+Usage:  python -m reseek_tpu <command> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_mode_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--fast", action="store_true")
+    g.add_argument("--sensitive", action="store_true")
+    g.add_argument("--verysensitive", action="store_true")
+
+
+def _mode_from_args(args, default: Optional[str] = None) -> str:
+    if args.fast:
+        return "fast"
+    if args.sensitive:
+        return "sensitive"
+    if args.verysensitive:
+        return "verysensitive"
+    if default is None:
+        raise SystemExit("Must set --fast, --sensitive or --verysensitive")
+    return default
+
+
+def cmd_convert(args) -> int:
+    from reseek_tpu.encoder.dss import encode_chain, feature_string
+    from reseek_tpu.io.bca import BCAWriter
+    from reseek_tpu.io.cal import write_cal
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    if args.minchainlength:
+        chains = [c for c in chains if len(c) >= args.minchainlength]
+    n = 0
+    if args.bca:
+        with BCAWriter(args.bca) as w:
+            for c in chains:
+                w.write_chain(c)
+    if args.cal:
+        with open(args.cal, "w") as f:
+            write_cal(chains, f)
+    if args.fasta:
+        with open(args.fasta, "w") as f:
+            for c in chains:
+                f.write(f">{c.label}\n{c.seq}\n")
+    if args.feature_fasta:
+        with open(args.feature_fasta, "w") as f:
+            for c in chains:
+                s = feature_string(encode_chain(c), args.alpha)
+                f.write(f">{c.label}\n{s}\n")
+    print(f"{len(chains)} chains converted", file=sys.stderr)
+    return 0
+
+
+def cmd_search(args) -> int:
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import (SearchOptions, query_search,
+                                          self_search)
+
+    mode = _mode_from_args(args)
+    params = DSSParams.create(mode)
+    if args.omega is not None:
+        params.omega = args.omega
+    if args.minfwdscore is not None:
+        params.min_fwd_score = args.minfwdscore
+
+    columns = parse_columns(args.columns)
+    max_e = args.evalue if args.evalue is not None else (
+        float("inf") if mode == "verysensitive" else 10.0)
+    options = SearchOptions(columns=columns, max_evalue=max_e,
+                            no_self=args.noself, mode=mode)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        chains = read_chains(args.input)
+        if args.db:
+            db_chains = read_chains(args.db)
+            drv = query_search(chains, db_chains, params, options, out)
+        else:
+            drv = self_search(chains, params, options, out)
+        print(f"{drv.hit_count} hits", file=sys.stderr)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_alignpair(args) -> int:
+    from reseek_tpu.align.output import format_row
+    from reseek_tpu.align.pipeline import PairAligner, encode_for_search
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.ops.kabsch import kabsch_path
+
+    params = DSSParams.create("sensitive")
+    params.omega = 0.0  # src/alignpair.cpp:179-185
+    qs = read_chains(args.input, save_lines=True)
+    ts = read_chains(args.input2, save_lines=True)
+    if not qs or not ts:
+        raise SystemExit("No chains found")
+
+    pa = PairAligner(params)
+    best = None
+    for qc in qs:
+        q = encode_for_search(qc, params)
+        for tc in ts:
+            t = encode_for_search(tc, params)
+            res = pa.align(q, t, apply_filter=False)
+            if best is None or res.fwd_score > best[0].fwd_score:
+                best = (res, q, t)
+    res, q, t = best
+    if not res.path:
+        raise SystemExit("No alignment found")
+
+    cols = ["query", "target", "qlo", "qhi", "tlo", "thi", "pctid",
+            "dpscore", "lddt", "newts", "evalue", "cigar"]
+    print(format_row(cols, res, q, t, True))
+
+    if args.aln:
+        from reseek_tpu.align.output import _row_strings
+        ra, rb = _row_strings(res, q, t, True, False)
+        with open(args.aln, "w") as f:
+            f.write(f"Query   >{q.label}\nTarget  >{t.label}\n\n")
+            for k in range(0, len(ra), 80):
+                f.write(ra[k:k + 80] + "\n" + rb[k:k + 80] + "\n\n")
+            f.write(f"E-value {res.evalue:.3g}  dpscore {res.fwd_score:.4g}"
+                    f"  lddt {res.lddt:.4g}\n")
+    if args.output:
+        t_vec, u, _msd = kabsch_path(q.chain.coords, t.chain.coords,
+                                     res.lo_a, res.lo_b, res.path)
+        rotated = q.chain.transformed(t_vec, u)
+        from reseek_tpu.io.pdb import write_pdb
+        with open(args.output, "w") as f:
+            write_pdb(rotated, f)
+    return 0
+
+
+def cmd_pdb2ss(args) -> int:
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.reader import read_chains
+
+    for c in read_chains(args.input):
+        print(f"{c.label}   SecStr  {encode_chain(c).ss_string}")
+    return 0
+
+
+def cmd_bca_stats(args) -> int:
+    from reseek_tpu.io.bca import BCAReader
+
+    with BCAReader(args.input) as r:
+        print(f"{len(r):10d}  Chains")
+        print(f"{int(r.seq_lengths.sum()):10d}  Residues")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="reseek-tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("convert", help="convert structures between formats")
+    p.add_argument("input")
+    p.add_argument("--bca")
+    p.add_argument("--cal")
+    p.add_argument("--fasta")
+    p.add_argument("--feature-fasta", dest="feature_fasta")
+    p.add_argument("--alpha", default="Mu")
+    p.add_argument("--minchainlength", type=int, default=0)
+    p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("search", help="structure search")
+    p.add_argument("input")
+    p.add_argument("--db")
+    _add_mode_args(p)
+    p.add_argument("--output", "-o")
+    p.add_argument("--columns", default="std")
+    p.add_argument("--evalue", type=float)
+    p.add_argument("--omega", type=float)
+    p.add_argument("--minfwdscore", type=float)
+    p.add_argument("--noself", action="store_true")
+    p.set_defaults(func=cmd_search)
+
+    p = sub.add_parser("alignpair", help="align best chain pair of two files")
+    p.add_argument("input")
+    p.add_argument("--input2", required=True)
+    p.add_argument("--aln")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_alignpair)
+
+    p = sub.add_parser("pdb2ss", help="print secondary structure strings")
+    p.add_argument("input")
+    p.set_defaults(func=cmd_pdb2ss)
+
+    p = sub.add_parser("bca-stats", help="print .bca database statistics")
+    p.add_argument("input")
+    p.set_defaults(func=cmd_bca_stats)
+
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""End-to-end search parity: our self-search output must be byte-identical
+to the reference binary's on q10.bca (goldens committed from
+reseek -search q10.bca -verysensitive/-sensitive, 1 thread)."""
+
+import io
+import os
+
+import pytest
+
+from tests.conftest import GOLDEN, REF_TEST_DATA
+from reseek_tpu.align.output import parse_columns
+from reseek_tpu.constants import DSSParams
+from reseek_tpu.io.bca import read_bca
+from reseek_tpu.search.driver import SearchOptions, self_search
+
+COLUMNS = "query+target+qlo+qhi+tlo+thi+dpscore+lddt+newts+evalue+cigar"
+
+
+def _run_self(mode: str) -> str:
+    params = DSSParams.create(mode)
+    options = SearchOptions(columns=parse_columns(COLUMNS),
+                            max_evalue=float("inf") if mode == "verysensitive"
+                            else 10.0,
+                            mode=mode)
+    chains = read_bca(os.path.join(REF_TEST_DATA, "q10.bca"))
+    buf = io.StringIO()
+    self_search(chains, params, options, buf)
+    return buf.getvalue()
+
+
+@pytest.mark.slow
+def test_q10_verysensitive_byte_identical():
+    golden = open(os.path.join(GOLDEN, "q10_vs.tsv")).read()
+    assert sorted(_run_self("verysensitive").splitlines()) == \
+        sorted(golden.splitlines())
+
+
+@pytest.mark.slow
+def test_q10_sensitive_byte_identical():
+    golden = open(os.path.join(GOLDEN, "q10_sens.tsv")).read()
+    assert sorted(_run_self("sensitive").splitlines()) == \
+        sorted(golden.splitlines())
+
+
+def test_statsig_values():
+    from reseek_tpu.constants import StatSig
+    # elbow model (src/statsig.cpp:27-44)
+    assert StatSig.pvalue(0.0) == pytest.approx(10 ** -0.58)
+    assert StatSig.pvalue(1.0) == pytest.approx(10 ** (-52 - 3.7))
+    assert StatSig.pvalue(-1.0) == 1.0
+    assert StatSig.evalue(0.2) == pytest.approx(
+        8340 * 10 ** (-52 * 0.2 - 3.7))
+
+
+def test_kabsch_recovers_rotation():
+    import numpy as np
+    from reseek_tpu.ops.kabsch import kabsch
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(30, 3))
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0],
+                  [0, 0, 1.0]])
+    y = x @ R.T + np.array([1.0, -2.0, 3.0])
+    t, u, msd = kabsch(x, y)
+    assert msd < 1e-18
+    assert np.allclose(u, R)
+    assert np.allclose(t, [1.0, -2.0, 3.0])
