@@ -71,10 +71,23 @@ def encode_for_search(chain: Chain, params: DSSParams,
 def self_rev_score(ec: EncodedChain, params: DSSParams) -> float:
     """Full SW of the chain against its own reversal (the reversed chain is
     re-encoded: DSS features are not reversal-symmetric).
-    Reference: GetSelfRevScore (src/alignpair.cpp:7-25) with Omega=0."""
+    Reference: GetSelfRevScore (src/alignpair.cpp:7-25) with Omega=0; note
+    chains >= MKFL take the MKF route here too (profileloader.cpp passes
+    Mu k-mers, so DoMKF applies)."""
     rev = ec.chain.reversed()
     rev_enc = encode_chain(rev)
     rev_profile = rev_enc.profile(params)
+    if len(ec) >= params.mkfl and len(ec.mu_kmers) > 0:
+        from reseek_tpu.align.mkf import align_mkf
+        # Reference quirk (src/alignpair.cpp:20-22): the reversed TARGET is
+        # given the FORWARD chain's Mu letters/k-mers, so the k-mer stage
+        # chains the trivial self-diagonal while the mega re-score uses the
+        # reversed profile — which nearly always rejects, giving ~0.
+        rev_ec = EncodedChain(
+            chain=rev, enc=rev_enc, profile=rev_profile,
+            mu_letters=ec.mu_letters,
+            mu_kmers=ec.mu_kmers)
+        return align_mkf(ec, rev_ec, params).fwd_score
     smx = build_smx(params, ec.profile, rev_profile)
     return sw_score(smx, params.gap_open, params.gap_ext)
 
@@ -143,7 +156,11 @@ class PairAligner:
     def align(self, q: EncodedChain, t: EncodedChain,
               apply_filter: bool = True) -> Optional[AlignResult]:
         """AlignQueryTarget (src/dssaligner.cpp:793-831).  Returns None when
-        the pair is rejected by the Mu filter."""
+        the pair is rejected by the Mu filter.  Long chains route through
+        the MKF seeded path, bypassing the Mu filter."""
+        from reseek_tpu.align.mkf import align_mkf, should_use_mkf
+        if should_use_mkf(q, t, self.params):
+            return align_mkf(q, t, self.params)
         self.n_aligned += 1
         if apply_filter and not self.mu_filter(q, t):
             return None
