@@ -71,19 +71,43 @@ def _kernels():
                          p + offsets[None, :, None])
 
     def smx(codes_a, codes_b, w):
-        nf = codes_a.shape[1]
-        s = w[codes_a[:, 0, :, None], codes_b[:, 0, None, :]]
-        for k in range(1, nf):
-            s = s + w[codes_a[:, k, :, None], codes_b[:, k, None, :]]
-        return s
+        """S[b,i,j] = sum_f w[ca[b,f,i], cb[b,f,j]] via one-hot MXU
+        matmuls.  TPU [B,L,L] table gathers cost ~15 ns/element (measured
+        on the round-1 runner) — two matmuls are orders of magnitude
+        faster.  HIGHEST precision keeps ~f32 accuracy (<=1e-6 deviation
+        from feature-ordered f32 adds)."""
+        d = w.shape[0]
+        oh_a = jax.nn.one_hot(codes_a, d, dtype=jnp.float32).sum(axis=1)
+        oh_b = jax.nn.one_hot(codes_b, d, dtype=jnp.float32).sum(axis=1)
+        emb = jax.lax.dot_general(
+            oh_a, w, dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # [B, L, D]
+        return jax.lax.dot_general(
+            emb, oh_b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+
+    def mu_smx(a, b, mumx):
+        """Mu substitution matrix via one-hot matmul.  The int8 Mu matrix
+        values (-7..4) are exact in bf16 and accumulate exactly in f32, so
+        this equals the table lookup bit-for-bit."""
+        oh_a = jax.nn.one_hot(a, 37, dtype=jnp.bfloat16)
+        oh_b = jax.nn.one_hot(b, 37, dtype=jnp.bfloat16)
+        emb = jax.lax.dot_general(
+            oh_a, mumx.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(
+            emb.astype(jnp.bfloat16), oh_b,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
 
     def stage1_mu(mu_db, mu_rev_db, idx_a, idx_b, mumx, omega_fwd,
                   bucket, open_, ext):
         a = mu_db[idx_a][:, :bucket].astype(jnp.int32)
         ar = mu_rev_db[idx_a][:, :bucket].astype(jnp.int32)
         b = mu_db[idx_b][:, :bucket].astype(jnp.int32)
-        fwd = sw_score_batch(mumx[a[:, :, None], b[:, None, :]], open_, ext)
-        rev = sw_score_batch(mumx[ar[:, :, None], b[:, None, :]], open_, ext)
+        fwd = sw_score_batch(mu_smx(a, b, mumx), open_, ext)
+        rev = sw_score_batch(mu_smx(ar, b, mumx), open_, ext)
         return jnp.where(fwd < omega_fwd, np.float32(0.0), fwd - rev)
 
     def stage2_full(prof_a_db, prof_b_db, idx_a, idx_b, w, offsets,
