@@ -88,7 +88,11 @@ def cmd_search(args) -> int:
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         chains = read_chains(args.input)
-        if args.db:
+        if args.db and mode == "fast":
+            from reseek_tpu.search.driver import fast_search
+            db_chains = read_chains(args.db)
+            drv = fast_search(chains, db_chains, params, options, out)
+        elif args.db:
             db_chains = read_chains(args.db)
             drv = query_search(chains, db_chains, params, options, out)
         else:

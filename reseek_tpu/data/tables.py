@@ -73,6 +73,12 @@ class Tables:
         return self._d["IntScoreMx_Mu"]
 
     @property
+    def mu_prefilter_mx_int8(self) -> np.ndarray:
+        """36x36 int8 matrix used by the k-mer prefilter's seed scoring and
+        diagonal HSPs (Mu_S_ij_i8, src/mumx_data.cpp:81)."""
+        return self._d["Mu_S_ij_i8"]
+
+    @property
     def conf_centroids(self) -> np.ndarray:
         """16x9 float64 k-means centroids for the Conf letter (myss.cpp:70-85)."""
         return self._d["ConfCentroids"]

@@ -94,3 +94,33 @@ def query_search(queries: Iterable[Chain], db_chains: List[Chain],
                 continue
             drv.emit(res, q, t, True)
     return drv
+
+
+def fast_search(queries: List[Chain], db_chains: List[Chain],
+                params: DSSParams, options: SearchOptions,
+                out: TextIO) -> SearchDriver:
+    """Big-DB prefilter pipeline (-fast -db, src/search.cpp:62-112):
+    (1) Mu k-mer two-hit prefilter keeps top-1500 targets per query,
+    (2) survivors are aligned with SENSITIVE parameters
+    (PostMuFilter, src/postmufilter.cpp:211; one output row per hit)."""
+    from reseek_tpu.constants import DSSParams as _P
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.search.prefilter import prefilter_search
+
+    q_mu = [encode_chain(c).mu_letters for c in queries]
+    pf = prefilter_search(
+        q_mu, ((i, encode_chain(c).mu_letters)
+               for i, c in enumerate(db_chains)))
+
+    sens = _P.create("sensitive")
+    q_ecs = [encode_for_search(c, sens) for c in queries]
+    drv = SearchDriver(sens, options, out)
+    t2q = pf.target_to_queries()
+    for tidx in sorted(t2q):
+        t_ec = encode_for_search(db_chains[tidx], sens)
+        for qi in t2q[tidx]:
+            res = drv.aligner.align(q_ecs[qi], t_ec)
+            if res is None or not res.path:
+                continue
+            drv.emit(res, q_ecs[qi], t_ec, True)
+    return drv

@@ -69,8 +69,11 @@ def main():
     mu = open(f"{REF}/mumx_data.cpp").read()
     mu_f = parse_array(mu, r"float ScoreMx_Mu\[36\]\[36\]", (36, 36))
     mu_i = parse_array(mu, r"int8_t IntScoreMx_Mu\[36\]\[36\]", (36, 36))
+    mu_p = parse_array(mu, r"int8_t Mu_S_ij_i8\[36\]\[36\]", (36, 36))
     out["ScoreMx_Mu"] = mu_f.astype(np.float32)
     out["IntScoreMx_Mu"] = mu_i.astype(np.int8)
+    # prefilter scoring matrix (mumx_data.cpp:81), used by FindHSP/MerMx
+    out["Mu_S_ij_i8"] = mu_p.astype(np.int8)
 
     # Conf k-means centroids: myss.cpp:70-85, 16 clusters x 9 window distances
     ss = open(f"{REF}/myss.cpp").read()
