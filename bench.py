@@ -20,21 +20,23 @@ REF_PAIRS_PER_SEC = 1100.0  # reference binary, 1 thread, this host
 Q100 = "/root/reference/test_data/q100.bca"
 
 
-def run_once(ecs, params):
-    from reseek_tpu.search.engine import (BatchedEngine, DeviceDB,
-                                          batched_self_search)
-    db = DeviceDB(ecs, params, with_rev_profiles=True)
-    eng = BatchedEngine(db)
-    srs = eng.self_rev_scores()
-    for ec, s in zip(ecs, srs):
-        ec.self_rev_score = float(s)
-    return batched_self_search(ecs, params, db=db)
+def run_once(chains, params):
+    """Full search through the production driver (device engine + host MKF
+    for long chains), writing rows like the CLI."""
+    import io
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.search.driver import SearchOptions, self_search
+    opts = SearchOptions(
+        columns=parse_columns("query+target+qlo+qhi+tlo+thi+evalue+cigar"),
+        max_evalue=10.0, mode="sensitive")
+    buf = io.StringIO()
+    drv = self_search(chains, params, opts, buf, engine="device")
+    return buf.getvalue().splitlines()
 
 
 def main():
     from reseek_tpu.search.engine import configure_jax
     configure_jax()
-    from reseek_tpu.align.pipeline import encode_for_search
     from reseek_tpu.constants import DSSParams
     from reseek_tpu.io.bca import read_bca
 
@@ -43,16 +45,14 @@ def main():
     n = len(chains)
     n_pairs = n * (n + 1) // 2
 
-    # warmup pass: triggers compilation (cached persistently) + encoder JIT
+    # warmup pass: triggers compilation (cached in-process) + encoder JIT
     t_warm = time.time()
-    ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
-    hits_warm = run_once(ecs, params)
+    hits_warm = run_once(chains, params)
     warm_s = time.time() - t_warm
 
     # measured pass: full pipeline including encode
     t0 = time.time()
-    ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
-    hits = run_once(ecs, params)
+    hits = run_once(chains, params)
     dt = time.time() - t0
 
     pairs_per_sec = n_pairs / dt

@@ -61,12 +61,27 @@ class SearchDriver:
         return res
 
 
+def _tpu_available() -> bool:
+    try:
+        import jax
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
 def self_search(chains: List[Chain], params: DSSParams,
-                options: SearchOptions, out: TextIO) -> SearchDriver:
+                options: SearchOptions, out: TextIO,
+                engine: str = "auto") -> SearchDriver:
     """All-vs-all (src/runself.cpp): pairs (i, j >= i), self pair emitted
-    once, other pairs in both orientations."""
-    with_selfrev = True
-    ecs = [encode_for_search(c, params, with_self_rev=with_selfrev)
+    once, other pairs in both orientations.
+
+    engine: "auto" uses the batched device engine when a TPU is attached,
+    "device" forces it, "host" runs the per-pair numpy path."""
+    if engine == "auto":
+        engine = "device" if _tpu_available() else "host"
+    if engine == "device":
+        return _self_search_device(chains, params, options, out)
+    ecs = [encode_for_search(c, params, with_self_rev=True)
            for c in chains]
     drv = SearchDriver(params, options, out)
     n = len(ecs)
@@ -75,6 +90,50 @@ def self_search(chains: List[Chain], params: DSSParams,
             if options.no_self and i == j:
                 continue
             drv.align_and_emit(ecs[i], ecs[j], both_orientations=(i != j))
+    return drv
+
+
+def _self_search_device(chains: List[Chain], params: DSSParams,
+                        options: SearchOptions, out: TextIO) -> SearchDriver:
+    """Batched all-vs-all on the device engine; long-chain (MKF) pairs run
+    on the host path for reference parity."""
+    import numpy as np
+    from reseek_tpu.align.mkf import should_use_mkf
+    from reseek_tpu.search.engine import (BatchedEngine, DeviceDB,
+                                          batched_self_search, configure_jax)
+    configure_jax()
+    ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
+    db = DeviceDB(ecs, params, with_rev_profiles=True)
+    eng = BatchedEngine(db)
+    # self-rev: device for short chains, host MKF quirk path for long ones
+    srs = eng.self_rev_scores()
+    from reseek_tpu.align.pipeline import self_rev_score
+    for ec, s in zip(ecs, srs):
+        ec.self_rev_score = (self_rev_score(ec, params)
+                             if len(ec) >= params.mkfl else float(s))
+    drv = SearchDriver(params, options, out)
+    n = len(ecs)
+    mkf_pairs = []
+    results = batched_self_search(
+        ecs, params, max_evalue=options.max_evalue, db=db,
+        skip_pair=lambda i, j: should_use_mkf(ecs[i], ecs[j], params)
+        or (options.no_self and i == j),
+        skipped=mkf_pairs)
+    by_pair = {}
+    for r in results:
+        by_pair[(r.query, r.target)] = r
+    for i, j in mkf_pairs:
+        if options.no_self and i == j:
+            continue
+        res = drv.aligner.align(ecs[i], ecs[j])
+        if res is not None and res.path:
+            by_pair[(res.query, res.target)] = res
+    ec_by_label = {ec.label: ec for ec in ecs}
+    for (ql, tl), res in by_pair.items():
+        q, t = ec_by_label[ql], ec_by_label[tl]
+        drv.emit(res, q, t, True)
+        if ql != tl:
+            drv.emit(res, q, t, False)
     return drv
 
 

@@ -30,7 +30,7 @@ from reseek_tpu.constants import DSSParams, StatSig
 from reseek_tpu.data.tables import get_tables
 
 DEFAULT_BUCKETS = (96, 192, 384, 768, 1536, 3072)
-CELL_BUDGET = 1 << 24  # B * L * L cells per device batch
+CELL_BUDGET = 1 << 26  # B * L * L cells per device batch
 PAD_BYTE = 255         # profile pad marker in device uint8 arrays
 
 
@@ -77,8 +77,16 @@ def _kernels():
         faster.  HIGHEST precision keeps ~f32 accuracy (<=1e-6 deviation
         from feature-ordered f32 adds)."""
         d = w.shape[0]
-        oh_a = jax.nn.one_hot(codes_a, d, dtype=jnp.float32).sum(axis=1)
-        oh_b = jax.nn.one_hot(codes_b, d, dtype=jnp.float32).sum(axis=1)
+
+        def multihot(codes):
+            # accumulate per feature to avoid materializing [B, F, L, D]
+            out = jax.nn.one_hot(codes[:, 0], d, dtype=jnp.float32)
+            for f in range(1, codes.shape[1]):
+                out = out + jax.nn.one_hot(codes[:, f], d, dtype=jnp.float32)
+            return out
+
+        oh_a = multihot(codes_a)
+        oh_b = multihot(codes_b)
         emb = jax.lax.dot_general(
             oh_a, w, dimension_numbers=(((2,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)  # [B, L, D]
@@ -401,14 +409,24 @@ def finish_result(res: AlignResult, q: EncodedChain, t: EncodedChain,
 
 def batched_self_search(ecs: List[EncodedChain], params: DSSParams,
                         max_evalue: float = 10.0,
-                        db: Optional[DeviceDB] = None) -> List[AlignResult]:
-    """All-vs-all via the staged device pipeline (pair emitted once)."""
+                        db: Optional[DeviceDB] = None,
+                        skip_pair=None,
+                        skipped: Optional[list] = None) -> List[AlignResult]:
+    """All-vs-all via the staged device pipeline (pair emitted once).
+
+    skip_pair(i, j) -> True routes a pair away from the device engine
+    (collected into `skipped`, e.g. for the host MKF long-chain path)."""
     if db is None:
         db = DeviceDB(ecs, params, with_rev_profiles=False)
     eng = BatchedEngine(db)
     n = len(ecs)
     iu = np.triu_indices(n)
     pairs = np.stack(iu, axis=1).astype(np.int64)
+    if skip_pair is not None:
+        mask = np.array([skip_pair(int(i), int(j)) for i, j in pairs])
+        if skipped is not None:
+            skipped.extend((int(i), int(j)) for i, j in pairs[mask])
+        pairs = pairs[~mask]
     if params.omega > 0:
         mu = eng.mu_filter_scores(pairs)
         pairs = pairs[mu >= params.omega]

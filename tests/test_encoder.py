@@ -46,3 +46,17 @@ def test_profile_shape(q100_encodings):
     prof = enc.profile(p)
     assert prof.shape == (8, len(enc.chain))
     assert prof.max() < 31
+
+
+def test_native_encoder_parity(q100_chains):
+    from reseek_tpu.encoder import native
+    from reseek_tpu.encoder.dss import _encode_chain_numpy, encode_chain
+    if not native.available():
+        import pytest
+        pytest.skip("no native encoder (g++ unavailable)")
+    import numpy as np
+    for c in q100_chains[:25]:
+        nat = encode_chain(c, use_native=True)
+        ref = _encode_chain_numpy(c)
+        for f, vals in ref.features.items():
+            assert np.array_equal(nat.features[f], vals), (c.label, f)
