@@ -453,10 +453,23 @@ def xdrop_hsp(q: EncodedChain, t: EncodedChain, params: DSSParams,
 
 
 def align_mkf(q: EncodedChain, t: EncodedChain, params: DSSParams,
-              ht_q: Optional[np.ndarray] = None) -> AlignResult:
+              ht_q: Optional[np.ndarray] = None,
+              use_native: bool = True) -> AlignResult:
     """Full MKF route: AlignMKF + PostAlignMKF
     (src/dssaligner.cpp:1387-1437)."""
     from reseek_tpu.search.engine import finish_result
+
+    if use_native and ht_q is None:
+        from reseek_tpu.align.mkf_native import align_mkf_native
+        nat = align_mkf_native(q, t, params)
+        if nat is not None:
+            score, lo_a, lo_b, path = nat
+            res = AlignResult(query=q.label, target=t.label,
+                              fwd_score=score, lo_a=lo_a, lo_b=lo_b,
+                              path=path)
+            if path:
+                finish_result(res, q, t, params)
+            return res
 
     res = AlignResult(query=q.label, target=t.label)
     chain = mkf_find_chain(q, t, params, ht_q)

@@ -128,6 +128,16 @@ def cmd_alignpair(args) -> int:
             if best is None or res.fwd_score > best[0].fwd_score:
                 best = (res, q, t)
     res, q, t = best
+    if args.global_aln:
+        from reseek_tpu.ops.nw import nw_align
+        from reseek_tpu.ops.substmx import build_smx
+        smx = build_smx(params, q.profile, t.profile)
+        score, path = nw_align(smx)
+        res.fwd_score, res.lo_a, res.lo_b, res.path = score, 0, 0, path
+        from reseek_tpu.search.engine import finish_result
+        res.hi_a = len(q) - 1
+        res.hi_b = len(t) - 1
+        finish_result(res, q, t, params)
     if not res.path:
         raise SystemExit("No alignment found")
 
@@ -172,6 +182,119 @@ def cmd_bca_stats(args) -> int:
     return 0
 
 
+def cmd_pdb2mega(args) -> int:
+    """Input file for Muscle-3D MSA (src/pdb2mega.cpp): header, per-feature
+    freqs + weighted log-odds (lower triangles), then per-residue profile
+    letter strings."""
+    import numpy as np
+    from reseek_tpu.constants import ALPHA_SIZES, AMINO_ALPHABET, DSSParams
+    from reseek_tpu.data.tables import get_tables
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.ops.substmx import weighted_matrices
+
+    params = DSSParams.create("fast")
+    t = get_tables()
+    mats = weighted_matrices(params.features, params.weights)
+    chains = read_chains(args.input)
+    if args.reverse:
+        chains = [c.reversed() for c in chains]
+    nf = len(params.features)
+    with open(args.output, "w") as f:
+        f.write(f"mega\t{nf}\t{len(chains)}\t"
+                f"{-params.gap_open:.4g}\t{-params.gap_ext:.4g}\n")
+        for i, feat in enumerate(params.features):
+            a = ALPHA_SIZES[feat]
+            f.write(f"{i}\t{feat}\t{a}\t{params.weights[i]:.6g}\n")
+            freqs = t.bg_freqs(feat)
+            f.write("freqs" + "".join(f"\t{v:.4g}" for v in freqs[:a])
+                    + "\n")
+            fm = t.freq_mx(feat)
+            for l1 in range(a):
+                f.write(str(l1) + "".join(f"\t{fm[l1, l2]:.4g}"
+                                          for l2 in range(l1 + 1)) + "\n")
+            f.write("logoddsmx\n")
+            sm = mats[feat]
+            for l1 in range(a):
+                c = (AMINO_ALPHABET[l1] if feat == "AA"
+                     else chr(ord("a") + l1))
+                f.write(f"{l1}\t{c}" + "".join(
+                    f"\t{sm[l1, l2]:.4g}" for l2 in range(l1 + 1)) + "\n")
+        for ci, chain in enumerate(chains):
+            enc = encode_chain(chain)
+            prof = enc.profile(params)
+            f.write(f"chain\t{ci}\t{chain.label}\t{len(chain)}\n")
+            for pos in range(len(chain)):
+                srow = []
+                for fi, feat in enumerate(params.features):
+                    if feat == "AA":
+                        srow.append(chain.seq[pos])
+                    else:
+                        srow.append(chr(ord("A") + int(prof[fi, pos])))
+                f.write(f"{ci}\t{pos}\t{''.join(srow)}\n")
+    print(f"{len(chains)} chains written", file=sys.stderr)
+    return 0
+
+
+def cmd_scop40bench(args) -> int:
+    """All-vs-all SCOP40-style benchmark: self-search then SEPQ/ROC report
+    (src/scop40bench.cpp:767, test_scripts/check_scop40.py)."""
+    import io
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.benchmarks.scop40 import Scop40Eval, read_dom_scopid
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import SearchOptions, self_search
+
+    mode = _mode_from_args(args, default="fast")
+    params = DSSParams.create(mode)
+    options = SearchOptions(
+        columns=parse_columns("query+target+evalue"),
+        max_evalue=args.evalue if args.evalue is not None else 10.0,
+        mode=mode)
+    chains = read_chains(args.input)
+    buf = io.StringIO() if not args.output else open(args.output, "w")
+    self_search(chains, params, options, buf, engine=args.engine)
+    if args.output:
+        buf.close()
+        hits_f = open(args.output)
+    else:
+        buf.seek(0)
+        hits_f = buf
+    ev = Scop40Eval(read_dom_scopid(args.lookup))
+    def gen():
+        for line in hits_f:
+            q, t, e = line.rstrip("\n").split("\t")
+            yield q, t, float(e.replace("99.0", "99"))
+    res = ev.evaluate(gen())
+    print(res.summary())
+    return 0
+
+
+def cmd_chains2pdbs(args) -> int:
+    """Write each chain to its own PDB file (src/chains2pdbs.cpp)."""
+    import os
+    from reseek_tpu.io.pdb import write_pdb
+    from reseek_tpu.io.reader import read_chains
+    os.makedirs(args.outdir, exist_ok=True)
+    n = 0
+    for c in read_chains(args.input):
+        safe = c.label.replace("/", "_")
+        with open(os.path.join(args.outdir, safe + ".pdb"), "w") as f:
+            write_pdb(c, f)
+        n += 1
+    print(f"{n} chains written", file=sys.stderr)
+    return 0
+
+
+def cmd_getchains(args) -> int:
+    """List chain labels and lengths."""
+    from reseek_tpu.io.reader import read_chains
+    for c in read_chains(args.input):
+        print(f"{c.label}\t{len(c)}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="reseek-tpu",
                                  description=__doc__,
@@ -205,6 +328,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input2", required=True)
     p.add_argument("--aln")
     p.add_argument("--output")
+    p.add_argument("--global", dest="global_aln", action="store_true",
+                   help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
     p = sub.add_parser("pdb2ss", help="print secondary structure strings")
@@ -214,6 +339,33 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bca-stats", help="print .bca database statistics")
     p.add_argument("input")
     p.set_defaults(func=cmd_bca_stats)
+
+    p = sub.add_parser("pdb2mega", help="write Muscle-3D mega input")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--reverse", action="store_true")
+    p.set_defaults(func=cmd_pdb2mega)
+
+    p = sub.add_parser("scop40bench",
+                       help="all-vs-all benchmark with SEPQ/ROC report")
+    p.add_argument("input")
+    _add_mode_args(p)
+    p.add_argument("--lookup", required=True,
+                   help="dom<TAB>scopid truth table")
+    p.add_argument("--output")
+    p.add_argument("--evalue", type=float)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"])
+    p.set_defaults(func=cmd_scop40bench)
+
+    p = sub.add_parser("chains2pdbs", help="one PDB file per chain")
+    p.add_argument("input")
+    p.add_argument("--outdir", required=True)
+    p.set_defaults(func=cmd_chains2pdbs)
+
+    p = sub.add_parser("getchains", help="list chain labels and lengths")
+    p.add_argument("input")
+    p.set_defaults(func=cmd_getchains)
 
     return ap
 

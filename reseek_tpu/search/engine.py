@@ -53,8 +53,11 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+MAX_BATCH = 2048  # larger batches make remote XLA compiles pathological
+
+
 def batch_size_for(bucket: int) -> int:
-    return max(1, CELL_BUDGET // (bucket * bucket))
+    return max(1, min(MAX_BATCH, CELL_BUDGET // (bucket * bucket)))
 
 
 @functools.lru_cache(maxsize=None)
