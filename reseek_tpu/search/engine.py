@@ -65,7 +65,18 @@ def _kernels():
     import jax
     import jax.numpy as jnp
     from reseek_tpu.ops.postalign_jax import lddt_batch, walk_traceback_batch
-    from reseek_tpu.ops.sw_jax import sw_score_batch, sw_traceback_batch
+
+    # Pallas wavefront kernels (DP state in VMEM) on TPU; the lax.scan
+    # wavefront elsewhere.  Both are bit-identical to ops/sw_np.py.
+    impl = os.environ.get("RESEEK_SW", "auto")
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from reseek_tpu.ops.sw_pallas import (
+            sw_score_pallas as sw_score_batch,
+            sw_traceback_pallas as sw_traceback_batch)
+    else:
+        from reseek_tpu.ops.sw_jax import sw_score_batch, sw_traceback_batch
 
     def codes_slice(prof_db, idx, offsets, pad_code, bucket):
         """Gather + slice + flat-code profiles: [B, F, bucket] int32."""
