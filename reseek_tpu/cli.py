@@ -265,7 +265,7 @@ def cmd_scop40bench(args) -> int:
     def gen():
         for line in hits_f:
             q, t, e = line.rstrip("\n").split("\t")
-            yield q, t, float(e.replace("99.0", "99"))
+            yield q, t, float(e)
     res = ev.evaluate(gen())
     print(res.summary())
     return 0

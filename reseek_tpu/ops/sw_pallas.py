@@ -103,10 +103,20 @@ def _bt_for(b: int, la: int, cell_bytes: int) -> Tuple[int, int]:
     la_pad = -(-la // 128) * 128
     bt_cap = max(8, (_VMEM_BUDGET // (cell_bytes * la_pad)) // 8 * 8)
     if bt_cap >= b:
-        return -(-b // 8) * 8, 1
-    nb = -(-b // bt_cap)
-    bt = -(-(-(-b // nb)) // 8) * 8
-    return bt, -(-b // bt)
+        bt, nb = -(-b // 8) * 8, 1
+    else:
+        n = -(-b // bt_cap)
+        bt = -(-(-(-b // n)) // 8) * 8
+        nb = -(-b // bt)
+    # cell_bytes covers the per-(pair, residue) state; fixed per-tile
+    # overheads (trace scratches, double-buffered output block) add
+    # ~(K_DIAGS+2)*4 bytes/pair-residue at most — assert total headroom
+    # under the 16 MB hardware VMEM limit rather than trusting the budget.
+    total = bt * la_pad * (cell_bytes + (K_DIAGS + 2) * 4)
+    assert total < 15 * 1024 * 1024, (
+        f"sw_pallas tile VMEM estimate {total} exceeds limit "
+        f"(bt={bt}, la={la})")
+    return bt, nb
 
 
 def _score_kernel(s_ref, out_ref, h1, h2, h3, e1, f1, bestv,

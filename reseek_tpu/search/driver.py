@@ -112,27 +112,27 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
         ec.self_rev_score = (self_rev_score(ec, params)
                              if len(ec) >= params.mkfl else float(s))
     drv = SearchDriver(params, options, out)
-    n = len(ecs)
     mkf_pairs = []
+    kept_pairs = []
     results = batched_self_search(
         ecs, params, max_evalue=options.max_evalue, db=db,
         skip_pair=lambda i, j: should_use_mkf(ecs[i], ecs[j], params)
         or (options.no_self and i == j),
-        skipped=mkf_pairs)
-    by_pair = {}
-    for r in results:
-        by_pair[(r.query, r.target)] = r
+        skipped=mkf_pairs, kept_pairs=kept_pairs)
+    by_pair = {tuple(pr): r for pr, r in zip(kept_pairs, results)}
     for i, j in mkf_pairs:
         if options.no_self and i == j:
             continue
         res = drv.aligner.align(ecs[i], ecs[j])
         if res is not None and res.path:
-            by_pair[(res.query, res.target)] = res
-    ec_by_label = {ec.label: ec for ec in ecs}
-    for (ql, tl), res in by_pair.items():
-        q, t = ec_by_label[ql], ec_by_label[tl]
+            by_pair[(i, j)] = res
+    # emit in the reference's single-thread order: (i, j >= i) ascending,
+    # Up row then Down row (src/runself.cpp:53-66)
+    for (i, j) in sorted(by_pair):
+        res = by_pair[(i, j)]
+        q, t = ecs[i], ecs[j]
         drv.emit(res, q, t, True)
-        if ql != tl:
+        if i != j:
             drv.emit(res, q, t, False)
     return drv
 

@@ -60,17 +60,25 @@ def batch_size_for(bucket: int) -> int:
     return max(1, min(MAX_BATCH, CELL_BUDGET // (bucket * bucket)))
 
 
-@functools.lru_cache(maxsize=None)
 def _kernels():
+    """Kernel set for the currently-selected SW implementation.  The env
+    var is re-read on every call; the cache is keyed on the resolved
+    implementation so toggling RESEEK_SW mid-process takes effect."""
+    import jax
+    impl = os.environ.get("RESEEK_SW", "auto")
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"))
+    return _kernels_for(use_pallas)
+
+
+@functools.lru_cache(maxsize=None)
+def _kernels_for(use_pallas: bool):
     import jax
     import jax.numpy as jnp
     from reseek_tpu.ops.postalign_jax import lddt_batch, walk_traceback_batch
 
     # Pallas wavefront kernels (DP state in VMEM) on TPU; the lax.scan
     # wavefront elsewhere.  Both are bit-identical to ops/sw_np.py.
-    impl = os.environ.get("RESEEK_SW", "auto")
-    use_pallas = (impl == "pallas" or
-                  (impl == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
         from reseek_tpu.ops.sw_pallas import (
             sw_score_pallas as sw_score_batch,
@@ -194,7 +202,13 @@ class DeviceDB:
 
         lens = np.array([len(ec) for ec in ecs])
         lmax = int(lens.max()) if len(lens) else 1
-        self.lmax = bucket_for(lmax, buckets)
+        if lmax > buckets[-1]:
+            # chains longer than the largest preset bucket (possible in
+            # verysensitive mode, where MKF routing is off) get a final
+            # bucket rounded up to 256 — never silently truncated
+            self.lmax = -(-lmax // 256) * 256
+        else:
+            self.lmax = bucket_for(lmax, buckets)
         self.buckets = tuple(b for b in buckets if b <= self.lmax)
         if not self.buckets or self.buckets[-1] < self.lmax:
             self.buckets = tuple(self.buckets) + (self.lmax,)
@@ -425,11 +439,15 @@ def batched_self_search(ecs: List[EncodedChain], params: DSSParams,
                         max_evalue: float = 10.0,
                         db: Optional[DeviceDB] = None,
                         skip_pair=None,
-                        skipped: Optional[list] = None) -> List[AlignResult]:
+                        skipped: Optional[list] = None,
+                        kept_pairs: Optional[list] = None
+                        ) -> List[AlignResult]:
     """All-vs-all via the staged device pipeline (pair emitted once).
 
     skip_pair(i, j) -> True routes a pair away from the device engine
-    (collected into `skipped`, e.g. for the host MKF long-chain path)."""
+    (collected into `skipped`, e.g. for the host MKF long-chain path).
+    When kept_pairs is given it receives the (i, j) tuple of each
+    returned result, in result order."""
     if db is None:
         db = DeviceDB(ecs, params, with_rev_profiles=False)
     eng = BatchedEngine(db)
@@ -451,5 +469,10 @@ def batched_self_search(ecs: List[EncodedChain], params: DSSParams,
     if len(pairs) == 0:
         return []
     results = eng.full_alignments(pairs)
-    return [r for r in results
-            if r is not None and r.path and r.evalue <= max_evalue]
+    out = []
+    for pr, r in zip(pairs, results):
+        if r is not None and r.path and r.evalue <= max_evalue:
+            out.append(r)
+            if kept_pairs is not None:
+                kept_pairs.append((int(pr[0]), int(pr[1])))
+    return out

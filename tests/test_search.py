@@ -31,15 +31,13 @@ def _run_self(mode: str) -> str:
 @pytest.mark.slow
 def test_q10_verysensitive_byte_identical():
     golden = open(os.path.join(GOLDEN, "q10_vs.tsv")).read()
-    assert sorted(_run_self("verysensitive").splitlines()) == \
-        sorted(golden.splitlines())
+    assert _run_self("verysensitive") == golden
 
 
 @pytest.mark.slow
 def test_q10_sensitive_byte_identical():
     golden = open(os.path.join(GOLDEN, "q10_sens.tsv")).read()
-    assert sorted(_run_self("sensitive").splitlines()) == \
-        sorted(golden.splitlines())
+    assert _run_self("sensitive") == golden
 
 
 def test_statsig_values():

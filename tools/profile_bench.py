@@ -16,7 +16,7 @@ import jax
 def t(label, f, *a, **kw):
     t0 = time.time()
     r = f(*a, **kw)
-    jax.block_until_ready(r) if hasattr(r, "block_until_ready") or isinstance(r, jax.Array) else None
+    jax.block_until_ready(r)  # accepts arbitrary pytrees
     print(f"{label:30s} {time.time()-t0:8.3f}s")
     return r
 
