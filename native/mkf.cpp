@@ -265,10 +265,13 @@ int mkf_align(const uint8_t *lets_q, int lq, const uint8_t *lets_t, int lt,
               int x1, int min_hsp, float x2, float open_, float ext,
               float min_mega,
               float *score, int *lo_a, int *lo_b,
-              char *path_buf, int path_cap, int *path_len) {
+              char *path_buf, int path_cap, int *path_len,
+              int *best_hsp_out, int *best_chain_out) {
     *score = 0;
     *lo_a = *lo_b = 0;
     *path_len = 0;
+    *best_hsp_out = 0;
+    *best_chain_out = 0;
     if (lq < 3 || lt < 3) return 0;
 
     // query 3-mer hash (mukmerfilter.cpp:208-225)
@@ -305,11 +308,13 @@ int mkf_align(const uint8_t *lets_q, int lq, const uint8_t *lets_t, int lt,
             }
         }
     }
+    *best_hsp_out = best_hsp;
     if (lois.empty()) return 0;
     std::vector<int> his(lois.size());
     for (size_t i = 0; i < lois.size(); ++i) his[i] = lois[i] + lens[i] - 1;
     std::vector<int> idxs;
     float chain_score = chain_hsps(lois, his, scores, idxs);
+    *best_chain_out = (int)chain_score;
     if (chain_score <= 0 || idxs.empty()) return 0;
 
     Scorer sub{w, prof_q, prof_t, F, lq, lt};

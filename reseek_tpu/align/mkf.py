@@ -463,10 +463,11 @@ def align_mkf(q: EncodedChain, t: EncodedChain, params: DSSParams,
         from reseek_tpu.align.mkf_native import align_mkf_native
         nat = align_mkf_native(q, t, params)
         if nat is not None:
-            score, lo_a, lo_b, path = nat
+            score, lo_a, lo_b, path, best_hsp, best_chain = nat
             res = AlignResult(query=q.label, target=t.label,
                               fwd_score=score, lo_a=lo_a, lo_b=lo_b,
-                              path=path)
+                              path=path, best_hsp_score=best_hsp,
+                              best_chain_score=best_chain)
             if path:
                 finish_result(res, q, t, params)
             return res

@@ -71,8 +71,8 @@ def _packed_weights(features: Tuple[str, ...],
 
 
 def align_mkf_native(q, t, params: DSSParams
-                     ) -> Optional[Tuple[float, int, int, str]]:
-    """Returns (score, lo_a, lo_b, path) or ("", score 0) tuple; None when
+                     ) -> Optional[Tuple[float, int, int, str, int, int]]:
+    """Returns (score, lo_a, lo_b, path, best_hsp, best_chain); None when
     the native library is unavailable."""
     lib = _lib()
     if lib is None:
@@ -90,6 +90,8 @@ def align_mkf_native(q, t, params: DSSParams
     plen = ctypes.c_int()
     cap = lq + lt + 16
     buf = ctypes.create_string_buffer(cap)
+    best_hsp = ctypes.c_int()
+    best_chain = ctypes.c_int()
     u8p = ctypes.POINTER(ctypes.c_uint8)
     with _lock:
         ok = lib.mkf_align(
@@ -103,8 +105,10 @@ def align_mkf_native(q, t, params: DSSParams
             ctypes.c_float(params.gap_ext),
             ctypes.c_float(params.mkf_min_mega_hsp_score),
             ctypes.byref(score), ctypes.byref(lo_a), ctypes.byref(lo_b),
-            buf, ctypes.c_int(cap), ctypes.byref(plen))
+            buf, ctypes.c_int(cap), ctypes.byref(plen),
+            ctypes.byref(best_hsp), ctypes.byref(best_chain))
     if not ok:
-        return (0.0, 0, 0, "")
+        return (0.0, 0, 0, "", best_hsp.value, best_chain.value)
     return (float(score.value), lo_a.value, lo_b.value,
-            buf.raw[: plen.value].decode("ascii"))
+            buf.raw[: plen.value].decode("ascii"),
+            best_hsp.value, best_chain.value)

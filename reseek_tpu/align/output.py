@@ -17,6 +17,7 @@ DEFAULT_COLUMNS = ["query", "target", "qlo", "qhi", "ql", "tlo", "thi", "tl",
 KNOWN_COLUMNS = DEFAULT_COLUMNS + [
     "evalue", "cigar", "qrow", "trow", "qrowg", "trowg", "ts", "newts",
     "dpscore", "lddt", "ids", "gaps", "aq", "raw", "qcovpct", "tcovpct",
+    "muscore", "muhsp", "muchain", "gscore",
 ]
 
 
@@ -142,6 +143,14 @@ def format_row(columns: List[str], res: AlignResult, q: EncodedChain,
             out.append(str(res.gaps))
         elif col == "aq":
             out.append("%.4f" % res.qual)
+        elif col == "muscore":
+            out.append("%.3g" % np.float32(res.mu_score))
+        elif col == "muhsp":
+            out.append("%d" % res.best_hsp_score)
+        elif col == "muchain":
+            out.append("%d" % res.best_chain_score)
+        elif col == "gscore":
+            out.append("%.1f" % res.global_score)
         elif col == "cigar":
             out.append(path_to_cigar(res.path, flip_di=not up))
         elif col == "qrow":

@@ -25,11 +25,16 @@ from reseek_tpu.ops.sw_np import sw_align, sw_score
 
 FLT_MAX = float(np.finfo(np.float32).max)
 
-# Approximate parasail 8-bit saturation point: striped profile saturates
-# near biased INT8_MAX; reference forces score=777 then
-# (src/parasail_mu.cpp:135-139).  Scores this high are far above any Omega
-# gate so only the 777 bookkeeping differs.
-MU_SAT_SCORE = 777.0
+# parasail 8-bit saturation: the striped kernel tracks the biased int8
+# running max and flags SATURATED once it exceeds maxp = INT8_MAX -
+# (matrix_max + 1) (src/parasail.cpp:585,731: bias INT8_MIN, matrix max 4),
+# i.e. once the true score exceeds 250, and then returns INT8_MAX - bias
+# = 255.  The reference rewrites the FWD score to 777
+# (src/parasail_mu.cpp:135-139) but reads the REV score before its 777
+# assignment (src/parasail_mu.cpp:152-156), so a saturated rev stays 255.
+MU_SAT_LIMIT = 250.0
+MU_SAT_SCORE = 777.0      # forced fwd score on saturation
+MU_SAT_REV_SCORE = 255.0  # saturated rev keeps parasail's clamped value
 
 
 @dataclasses.dataclass
@@ -110,6 +115,9 @@ class AlignResult:
     evalue: float = FLT_MAX
     qual: float = 0.0
     mu_score: float = 0.0
+    best_hsp_score: int = 0        # MKF m_BestHSPScore (muhsp column)
+    best_chain_score: int = 0      # MKF m_BestChainScore (muchain column)
+    global_score: float = -9999.0  # -global Viterbi score (gscore column)
 
     @property
     def cols(self) -> int:
@@ -134,10 +142,14 @@ class PairAligner:
         p = self.params
         open_, ext = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
         fwd = sw_score(build_mu_smx(q.mu_letters, t.mu_letters), open_, ext)
+        if fwd > MU_SAT_LIMIT:
+            fwd = MU_SAT_SCORE
         if fwd < p.omega_fwd:
             return 0.0
         rev = sw_score(build_mu_smx(q.mu_letters[::-1], t.mu_letters),
                        open_, ext)
+        if rev > MU_SAT_LIMIT:
+            rev = MU_SAT_REV_SCORE
         return fwd - rev
 
     def mu_filter(self, q: EncodedChain, t: EncodedChain) -> bool:
@@ -162,9 +174,18 @@ class PairAligner:
         if should_use_mkf(q, t, self.params):
             return align_mkf(q, t, self.params)
         self.n_aligned += 1
-        if apply_filter and not self.mu_filter(q, t):
-            return None
-        return self.align_no_accel(q, t)
+        mu_score = 0.0
+        if apply_filter:
+            p = self.params
+            if p.omega > 0:
+                self.n_mu_input += 1
+                mu_score = self.mu_filter_score(q, t)
+                if mu_score < p.omega:
+                    self.n_mu_discarded += 1
+                    return None
+        res = self.align_no_accel(q, t)
+        res.mu_score = mu_score
+        return res
 
     def align_no_accel(self, q: EncodedChain,
                        t: EncodedChain) -> AlignResult:
@@ -204,15 +225,25 @@ class PairAligner:
             rev_dp = np.float32(0.0)
 
         la, lb = len(q), len(t)
-        L = np.float32(float(la + lb)) / np.float32(2)
-        ts = np.float32(TS_LDDT_WEIGHT) * np.float32(res.lddt)
-        ts = np.float32(ts + (np.float32(TS_DP_WEIGHT) * np.float32(res.fwd_score)
-                              - np.float32(TS_REV_WEIGHT) * rev_dp)
-                        / (L + np.float32(TS_L_ADD)))
-        res.ts = float(ts)
+        res.ts = float(_ts_value(np.float32(res.lddt),
+                                 np.float32(res.fwd_score), rev_dp, la, lb))
         res.pvalue = StatSig.pvalue(res.ts)
         res.evalue = StatSig.evalue(res.ts)
         res.qual = StatSig.qual(res.ts)
+
+
+def _ts_value(lddt, fwd, rev_dp, la, lb):
+    """TS in the float32 op order of the compiled reference
+    (src/dssaligner.cpp:883-889 with GCC FMA contraction, see fp.py):
+      num = fms(dpw, fwd, f32(revtsw*rev_dp)); q = num/(L+ladd);
+      ts  = fma(lddtw, lddt, q).  Vectorized over numpy arrays."""
+    from reseek_tpu.fp import fma32, fms32
+    f32 = np.float32
+    L = (np.asarray(la, f32) + np.asarray(lb, f32)).astype(f32) / f32(2)
+    num = fms32(f32(TS_DP_WEIGHT), fwd,
+                (f32(TS_REV_WEIGHT) * np.asarray(rev_dp, f32)).astype(f32))
+    q = (num / (L + f32(TS_L_ADD)).astype(f32)).astype(f32)
+    return fma32(f32(TS_LDDT_WEIGHT), lddt, q)
 
 
 def _path_positions(lo_a: int, lo_b: int, path: str):

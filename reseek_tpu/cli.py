@@ -78,12 +78,22 @@ def cmd_search(args) -> int:
         params.omega = args.omega
     if args.minfwdscore is not None:
         params.min_fwd_score = args.minfwdscore
+    # positive-penalty convention on the command line (reference usage.h)
+    if args.gapopen is not None:
+        params.gap_open = -abs(args.gapopen)
+    if args.gapext is not None:
+        params.gap_ext = -abs(args.gapext)
+    # NOTE: like the reference binary, -dbsize is accepted but the E-value
+    # always uses SCOP40c_DBSIZE=8340 (src/statsig.h:3; the only consumer
+    # of -dbsize is cmd_postmufilter's assert, src/postmufilter.cpp:317)
 
     columns = parse_columns(args.columns)
     max_e = args.evalue if args.evalue is not None else (
         float("inf") if mode == "verysensitive" else 10.0)
     options = SearchOptions(columns=columns, max_evalue=max_e,
-                            no_self=args.noself, mode=mode)
+                            no_self=args.noself, mode=mode,
+                            global_aln=args.global_aln,
+                            scores_are_not_evalues=args.scores_are_not_evalues)
 
     out = open(args.output, "w") if args.output else sys.stdout
     try:
@@ -320,7 +330,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evalue", type=float)
     p.add_argument("--omega", type=float)
     p.add_argument("--minfwdscore", type=float)
+    p.add_argument("--gapopen", type=float,
+                   help="gap-open penalty (>= 0 convention)")
+    p.add_argument("--gapext", type=float,
+                   help="gap-extend penalty (>= 0 convention)")
+    p.add_argument("--dbsize", type=int,
+                   help="accepted for reference compatibility (E-values "
+                        "use the fitted SCOP40c constant, like reseek)")
     p.add_argument("--noself", action="store_true")
+    p.add_argument("--global", dest="global_aln", action="store_true",
+                   help="global (NW) alignment instead of local SW")
+    p.add_argument("--scores-are-not-evalues", dest="scores_are_not_evalues",
+                   action="store_true",
+                   help="disable the E-value output gate")
+    p.add_argument("--threads", type=int, default=0,
+                   help="host worker threads (0 = all cores)")
     p.set_defaults(func=cmd_search)
 
     p = sub.add_parser("alignpair", help="align best chain pair of two files")

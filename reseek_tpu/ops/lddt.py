@@ -27,9 +27,13 @@ def lddt_mu_fast(coords_q: np.ndarray, coords_t: np.ndarray,
     ct = coords_t[pos_t]
 
     def d2mat(c):
+        # GetDist2 (src/pdbchain.cpp:320-340) as compiled with GCC FMA
+        # contraction: dy*dy rounded, then two fused multiply-adds:
+        # d2 = fma(dz, dz, fma(dx, dx, f32(dy*dy)))
+        from reseek_tpu.fp import fma32
         d = c[:, None, :] - c[None, :, :]
-        return (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]
-                + d[..., 2] * d[..., 2])
+        dy2 = d[..., 1] * d[..., 1]
+        return fma32(d[..., 2], d[..., 2], fma32(d[..., 0], d[..., 0], dy2))
 
     d1_sq = d2mat(cq)
     d2_sq = d2mat(ct)

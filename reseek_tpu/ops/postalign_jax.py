@@ -77,14 +77,22 @@ def walk_traceback_batch(tb: jnp.ndarray, best: jnp.ndarray,
 
 
 def lddt_batch(cq: jnp.ndarray, ct: jnp.ndarray, valid: jnp.ndarray,
-               ncols: jnp.ndarray) -> jnp.ndarray:
+               ncols: jnp.ndarray, with_risky: bool = False):
     """Batched LDDT_mu_fast (src/lddt.cpp:63-124).
 
     cq, ct: [B, M, 3] f32 gathered aligned-column coordinates
     valid:  [B, M] bool column mask; ncols: [B] int32 true column counts
     Column-score summation runs as a sequential scan to match the
     reference's left-to-right float32 accumulation exactly.
-    """
+
+    TPU f32 sqrt/division are not correctly rounded and the reference
+    compiles its distance sum with FMA contraction (see fp.py), so device
+    values can drift by ~1 ulp.  With with_risky=True a second output
+    flags pairs where any threshold comparison (|d1-d2| vs {.5,1,2,4}) or
+    the R0^2 gate sits within a safety margin of the boundary — callers
+    recompute those on the host bit-exactly; for the rest the value is
+    exact up to non-boundary division rounding (|error| < ~3e-7, which
+    callers absorb with a display-band check)."""
     r0_sq = np.float32(225.0)
 
     def d2(c):
@@ -109,6 +117,17 @@ def lddt_batch(cq: jnp.ndarray, ct: jnp.ndarray, valid: jnp.ndarray,
     npres = jnp.where(consider, npres, 0)
     cons4 = jnp.where(consider, 4, 0)
 
+    risky = None
+    if with_risky:
+        near_t = jnp.zeros(dd.shape, bool)
+        for t in (0.5, 1.0, 2.0, 4.0):
+            near_t = near_t | (jnp.abs(dd - np.float32(t))
+                               < np.float32(1e-4))
+        near_r0 = ((jnp.abs(a1 - r0_sq) < np.float32(1e-2))
+                   | (jnp.abs(a2 - r0_sq) < np.float32(1e-2)))
+        anyp = (near_t & consider) | (near_r0 & pair_valid & upper)
+        risky = jnp.any(jnp.any(anyp, axis=2), axis=1)
+
     preserved = jnp.sum(npres, axis=2) + jnp.sum(npres, axis=1)
     considered = jnp.sum(cons4, axis=2) + jnp.sum(cons4, axis=1)
 
@@ -125,4 +144,7 @@ def lddt_batch(cq: jnp.ndarray, ct: jnp.ndarray, valid: jnp.ndarray,
 
     total, _ = jax.lax.scan(add, jnp.zeros(scores.shape[0], jnp.float32),
                             jnp.transpose(scores))
-    return total / jnp.maximum(ncols, 1).astype(jnp.float32)
+    out = total / jnp.maximum(ncols, 1).astype(jnp.float32)
+    if with_risky:
+        return out, risky
+    return out

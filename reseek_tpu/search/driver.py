@@ -26,6 +26,9 @@ class SearchOptions:
     max_evalue: float = 10.0     # DBSearcher::m_MaxEvalue default
     no_self: bool = False
     mode: str = "sensitive"
+    global_aln: bool = False     # -global (src/runself.cpp:48-56)
+    scores_are_not_evalues: bool = False  # disable the E-value gate
+                                          # (src/dbsearcher.cpp:260)
 
 
 class SearchDriver:
@@ -38,6 +41,8 @@ class SearchDriver:
         self.hit_count = 0
 
     def _reject(self, res: AlignResult) -> bool:
+        if self.options.scores_are_not_evalues:
+            return False
         return res.evalue > self.options.max_evalue
 
     def emit(self, res: AlignResult, q: EncodedChain, t: EncodedChain,
@@ -79,6 +84,8 @@ def self_search(chains: List[Chain], params: DSSParams,
     "device" forces it, "host" runs the per-pair numpy path."""
     if engine == "auto":
         engine = "device" if _tpu_available() else "host"
+    if options.global_aln:
+        return _self_search_global(chains, params, options, out)
     if engine == "device":
         return _self_search_device(chains, params, options, out)
     ecs = [encode_for_search(c, params, with_self_rev=True)
@@ -93,42 +100,90 @@ def self_search(chains: List[Chain], params: DSSParams,
     return drv
 
 
+def _self_search_global(chains: List[Chain], params: DSSParams,
+                        options: SearchOptions, out: TextIO) -> SearchDriver:
+    """-global all-vs-all (src/runself.cpp:48-56 +
+    AlignQueryTarget_Global, src/global.cpp:7-33): Mu filter, then global
+    Viterbi with free terminal gaps; no E-value is computed, so rows are
+    only emitted with scores_are_not_evalues."""
+    from reseek_tpu.ops.nw import nw_align
+    from reseek_tpu.ops.substmx import build_smx
+    ecs = [encode_for_search(c, params, with_self_rev=False)
+           for c in chains]
+    drv = SearchDriver(params, options, out)
+    n = len(ecs)
+    for i in range(n):
+        for j in range(i, n):
+            if options.no_self and i == j:
+                continue
+            q, t = ecs[i], ecs[j]
+            if params.omega > 0 and not drv.aligner.mu_filter(q, t):
+                continue
+            smx = build_smx(params, q.profile, t.profile)
+            score, path = nw_align(smx)
+            if not path:
+                continue
+            res = AlignResult(query=q.label, target=t.label,
+                              fwd_score=0.0, lo_a=0, lo_b=0, path=path,
+                              global_score=score)
+            n_m = path.count("M")
+            res.hi_a = res.lo_a + n_m + path.count("D") - 1
+            res.hi_b = res.lo_b + n_m + path.count("I") - 1
+            res.ids = n_m
+            res.gaps = len(path) - n_m
+            drv.emit(res, q, t, True)
+            if i != j:
+                drv.emit(res, q, t, False)
+    return drv
+
+
 def _self_search_device(chains: List[Chain], params: DSSParams,
                         options: SearchOptions, out: TextIO) -> SearchDriver:
-    """Batched all-vs-all on the device engine; long-chain (MKF) pairs run
-    on the host path for reference parity."""
+    """Batched all-vs-all on the sorted-DB rectangular device pipeline
+    (engine.DeviceSelfSearch); long-chain (MKF-routed) pairs run on the
+    host path for reference parity."""
     import numpy as np
-    from reseek_tpu.align.mkf import should_use_mkf
-    from reseek_tpu.search.engine import (BatchedEngine, DeviceDB,
-                                          batched_self_search, configure_jax)
+    from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
     ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
-    db = DeviceDB(ecs, params, with_rev_profiles=True)
-    eng = BatchedEngine(db)
+    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=True)
     # self-rev: device for short chains, host MKF quirk path for long ones
-    srs = eng.self_rev_scores()
+    srs = pipe.self_rev_scores_device()
     from reseek_tpu.align.pipeline import self_rev_score
     for ec, s in zip(ecs, srs):
         ec.self_rev_score = (self_rev_score(ec, params)
                              if len(ec) >= params.mkfl else float(s))
+
     drv = SearchDriver(params, options, out)
-    mkf_pairs = []
-    kept_pairs = []
-    results = batched_self_search(
-        ecs, params, max_evalue=options.max_evalue, db=db,
-        skip_pair=lambda i, j: should_use_mkf(ecs[i], ecs[j], params)
-        or (options.no_self and i == j),
-        skipped=mkf_pairs, kept_pairs=kept_pairs)
-    by_pair = {tuple(pr): r for pr, r in zip(kept_pairs, results)}
-    for i, j in mkf_pairs:
-        if options.no_self and i == j:
-            continue
-        res = drv.aligner.align(ecs[i], ecs[j])
-        if res is not None and res.path:
-            by_pair[(i, j)] = res
+    survivors = pipe.stage1_survivors()
+    by_pair = pipe.align_survivors(survivors)
+    # pairs with max length >= mkfl were excluded from the device path;
+    # align them on the host (PairAligner routes MKF vs full SW itself)
+    n = len(ecs)
+    lens = np.array([len(ec) for ec in ecs])
+    long_set = np.flatnonzero(lens >= params.mkfl)
+    seen = set()
+    for j in long_set:
+        for i in range(n):
+            a, b = (i, int(j)) if i <= j else (int(j), i)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            res = drv.aligner.align(ecs[a], ecs[b])
+            if res is not None and res.path:
+                by_pair[(a, b)] = res
+    # the muscore column is not produced by the bitmask stage-1; backfill
+    # it for emitted pairs from the host filter (same saturation rules)
+    if "muscore" in options.columns:
+        for (i, j), res in by_pair.items():
+            if res.mu_score == 0.0 and not (lens[i] >= params.mkfl
+                                            or lens[j] >= params.mkfl):
+                res.mu_score = drv.aligner.mu_filter_score(ecs[i], ecs[j])
     # emit in the reference's single-thread order: (i, j >= i) ascending,
     # Up row then Down row (src/runself.cpp:53-66)
     for (i, j) in sorted(by_pair):
+        if options.no_self and i == j:
+            continue
         res = by_pair[(i, j)]
         q, t = ecs[i], ecs[j]
         drv.emit(res, q, t, True)

@@ -138,6 +138,9 @@ def _kernels_for(use_pallas: bool):
         b = mu_db[idx_b][:, :bucket].astype(jnp.int32)
         fwd = sw_score_batch(mu_smx(a, b, mumx), open_, ext)
         rev = sw_score_batch(mu_smx(ar, b, mumx), open_, ext)
+        # parasail saturation semantics (see MU_SAT_* notes below)
+        fwd = jnp.where(fwd > np.float32(250.0), np.float32(777.0), fwd)
+        rev = jnp.where(rev > np.float32(250.0), np.float32(255.0), rev)
         return jnp.where(fwd < omega_fwd, np.float32(0.0), fwd - rev)
 
     def stage2_full(prof_a_db, prof_b_db, idx_a, idx_b, w, offsets,
@@ -396,9 +399,7 @@ def _finish_from_lddt(res: AlignResult, q: EncodedChain, t: EncodedChain,
                       p: DSSParams, lddt: float) -> None:
     """TS/P/E from a precomputed LDDT, float32 order of
     src/dssaligner.cpp:852-904."""
-    from reseek_tpu.align.pipeline import FLT_MAX
-    from reseek_tpu.constants import (TS_DP_WEIGHT, TS_L_ADD, TS_LDDT_WEIGHT,
-                                      TS_REV_WEIGHT)
+    from reseek_tpu.align.pipeline import FLT_MAX, _ts_value
     n_m = res.path.count("M")
     n_d = res.path.count("D")
     n_i = res.path.count("I")
@@ -412,12 +413,9 @@ def _finish_from_lddt(res: AlignResult, q: EncodedChain, t: EncodedChain,
         rev_dp = np.float32(np.float32(sa) + np.float32(sb)) / np.float32(2)
     else:
         rev_dp = np.float32(0.0)
-    L = np.float32(float(len(q) + len(t))) / np.float32(2)
-    ts = np.float32(TS_LDDT_WEIGHT) * np.float32(res.lddt)
-    ts = np.float32(ts + (np.float32(TS_DP_WEIGHT) * np.float32(res.fwd_score)
-                          - np.float32(TS_REV_WEIGHT) * rev_dp)
-                    / (L + np.float32(TS_L_ADD)))
-    res.ts = float(ts)
+    res.ts = float(_ts_value(np.float32(res.lddt),
+                             np.float32(res.fwd_score), rev_dp,
+                             len(q), len(t)))
     res.pvalue = StatSig.pvalue(res.ts)
     res.evalue = StatSig.evalue(res.ts)
     res.qual = StatSig.qual(res.ts)
@@ -433,6 +431,488 @@ def finish_result(res: AlignResult, q: EncodedChain, t: EncodedChain,
     pos_q, pos_t = _path_positions(res.lo_a, res.lo_b, res.path)
     lddt = lddt_mu_fast(q.chain.coords, t.chain.coords, pos_q, pos_t)
     _finish_from_lddt(res, q, t, p, lddt)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-DB rectangular-bucket device pipeline (the production self-search).
+#
+# The square-bucket BatchedEngine above pads every pair to
+# [maxbucket, maxbucket] and uploads explicit index vectors; at all-vs-all
+# scale that wastes 2-8x the cells and saturates the (slow) host<->device
+# link.  This pipeline instead:
+#   - sorts chains by length once, so each length bucket is a contiguous
+#     range and pair batches are generated ON DEVICE from range scalars
+#     (no index uploads; replaces the work-stealing pair loop of
+#     src/runself.cpp:72-99)
+#   - buckets pairs rectangularly [la_bucket, lb_bucket] with the shorter
+#     side on the sequential axis
+#   - stage 1 (Mu filter, src/dssaligner.cpp:619-630 + parasail saturation
+#     src/parasail_mu.cpp:135-139) runs as the integer-exact row-sweep
+#     kernel (ops/sw_sweep.py) and returns PACKED BITS (the device->host
+#     link is ~30 MB/s; 1 bit/pair instead of 4 bytes)
+#   - survivors go straight to a fused traceback+LDDT kernel (stage 3):
+#     SW with traceback, on-device path walk, aligned-column coordinate
+#     gather and LDDT, so only compact per-pair arrays are fetched
+#   - TS/P-value/E-value finish vectorized on host in reference float32
+#     order (src/dssaligner.cpp:852-904)
+# ---------------------------------------------------------------------------
+
+STAGE1_CELLS = 1 << 27   # cells (fwd+rev counted separately) per sub-chunk
+STAGE3_CELLS = 1 << 24   # traceback DP cells per chunk (tb tensor + LDDT)
+EDGE_SET = (128, 256, 512, 1024, 2048, 4096, 8192)
+MU_SAT_LIMIT = 250.0      # parasail 8-bit: saturated iff score > 250
+MU_SAT_SCORE = 777.0      # forced FWD score on saturation
+MU_SAT_REV_SCORE = 255.0  # saturated REV keeps parasail's clamp (see
+                          # align/pipeline.py MU_SAT_REV_SCORE note)
+
+
+def _edges_for(params: DSSParams, lmax: int) -> Tuple[int, ...]:
+    """Bucket edges: EDGE_SET trimmed to lmax, with mkfl-1 inserted so the
+    device/host (full-SW vs MKF) routing boundary is a bucket edge."""
+    edges = {e for e in EDGE_SET if e < lmax * 2}
+    if params.mkfl - 1 < lmax:
+        edges.add(params.mkfl - 1)
+    edges = sorted(edges)
+    while edges and edges[-1] < lmax:
+        edges.append(edges[-1] * 2)
+    if not edges:
+        edges = [max(lmax, 8)]
+    out = []
+    for e in edges:
+        out.append(e)
+        if e >= lmax:
+            break
+    return tuple(out)
+
+
+def _packbits_device(mask):
+    """bool [..., M] -> uint8 [..., M//8] (M multiple of 8)."""
+    import jax.numpy as jnp
+    shape = mask.shape[:-1] + (mask.shape[-1] // 8, 8)
+    w = jnp.asarray(np.array([1, 2, 4, 8, 16, 32, 64, 128], np.int32))
+    b = mask.reshape(shape).astype(jnp.int32)
+    return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage1_block_fn(la: int, lb: int, ca: int, cb: int, nsa: int, nsb: int,
+                     open_: float, ext: float, omega_fwd: float,
+                     omega: float):
+    """Compiled self-search stage-1 block: grid of nsa x nsb sub-chunks,
+    each (ca x cb) chain pairs, pair indices generated on device from
+    range scalars.  Returns packed pass bits [nsa*nsb, ca*cb//8]."""
+    import jax
+    import jax.numpy as jnp
+    from reseek_tpu.ops.sw_sweep import mu_smx_onehot, sw_score_sweep
+
+    o = np.float32(open_)
+    e = np.float32(ext)
+
+    def block(mu, mu_rev, mumx, a0, b0, a1, b1):
+        n = mu.shape[0]
+
+        def sub(s):
+            sa, sb = s // nsb, s % nsb
+            ia = a0 + sa * ca + jnp.arange(ca)
+            ib = b0 + sb * cb + jnp.arange(cb)
+            va = ia < a1
+            vb = ib < b1
+            iac = jnp.clip(ia, 0, n - 1)
+            ibc = jnp.clip(ib, 0, n - 1)
+            idx_a = jnp.repeat(iac, cb)
+            idx_b = jnp.tile(ibc, ca)
+            a = mu[idx_a][:, :la].astype(jnp.int32)
+            ar = mu_rev[idx_a][:, :la].astype(jnp.int32)
+            b = mu[idx_b][:, :lb].astype(jnp.int32)
+            fwd = sw_score_sweep(mu_smx_onehot(a, b, mumx), o, e)
+            rev = sw_score_sweep(mu_smx_onehot(ar, b, mumx), o, e)
+            fwd = jnp.where(fwd > MU_SAT_LIMIT, np.float32(MU_SAT_SCORE), fwd)
+            rev = jnp.where(rev > MU_SAT_LIMIT,
+                            np.float32(MU_SAT_REV_SCORE), rev)
+            ok = (fwd >= np.float32(omega_fwd)) & \
+                (fwd - rev >= np.float32(omega))
+            # valid: in range and unordered pair emitted once (j >= i in
+            # sorted index space; cross-bucket ranges are disjoint)
+            valid = (jnp.repeat(va, cb) & jnp.tile(vb, ca)
+                     & (jnp.repeat(ia, cb) <= jnp.tile(ib, ca)))
+            return _packbits_device(ok & valid)
+
+        return jax.lax.map(sub, jnp.arange(nsa * nsb))
+
+    return jax.jit(block)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage3_fn(la: int, lb: int, pad_code: int, open_: float, ext: float,
+               use_pallas: bool):
+    """Fused survivor kernel: full-profile SW with traceback, on-device
+    path walk, aligned-column compaction, coordinate gather and LDDT."""
+    import jax
+    import jax.numpy as jnp
+    from reseek_tpu.ops.postalign_jax import (PD, PI, PM, lddt_batch,
+                                              walk_traceback_batch)
+    if use_pallas:
+        from reseek_tpu.ops.sw_pallas import \
+            sw_traceback_pallas as sw_traceback_batch_k
+    else:
+        from reseek_tpu.ops.sw_jax import \
+            sw_traceback_batch as sw_traceback_batch_k
+
+    o = np.float32(open_)
+    e = np.float32(ext)
+    m_cap = min(la, lb)
+
+    def codes_slice(prof_db, idx, offsets, bucket):
+        p = prof_db[idx][:, :, :bucket].astype(jnp.int32)
+        return jnp.where(p == PAD_BYTE, pad_code,
+                         p + offsets[None, :, None])
+
+    def smx(ca_, cb_, w):
+        d = w.shape[0]
+
+        def multihot(codes):
+            out = jax.nn.one_hot(codes[:, 0], d, dtype=jnp.float32)
+            for f in range(1, codes.shape[1]):
+                out = out + jax.nn.one_hot(codes[:, f], d, dtype=jnp.float32)
+            return out
+
+        emb = jax.lax.dot_general(
+            multihot(ca_), w, dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(
+            emb, multihot(cb_), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+
+    def run(prof_db, coords_db, idx_a, idx_b, w, offsets):
+        ca_ = codes_slice(prof_db, idx_a, offsets, la)
+        cb_ = codes_slice(prof_db, idx_b, offsets, lb)
+        best, bi, bj, tbs = sw_traceback_batch_k(smx(ca_, cb_, w), o, e)
+        lo_a, lo_b, plen, path_rev = walk_traceback_batch(tbs, best, bi, bj)
+
+        codes = path_rev  # [B, D+1], reversed from the alignment end
+        is_m = codes == PM
+        adv_a = is_m | (codes == PD)
+        adv_b = is_m | (codes == PI)
+        exc_a = jnp.cumsum(adv_a, axis=1) - adv_a
+        exc_b = jnp.cumsum(adv_b, axis=1) - adv_b
+        pos_a = bi[:, None] - exc_a
+        pos_b = bj[:, None] - exc_b
+        m_cum = jnp.cumsum(is_m, axis=1)
+        n_m = m_cum[:, -1]
+        rank_fwd = jnp.where(is_m, n_m[:, None] - m_cum, m_cap)
+        bidx = jnp.arange(codes.shape[0])[:, None]
+        cq_pos = jnp.zeros((codes.shape[0], m_cap + 1), jnp.int32) \
+            .at[bidx, rank_fwd].set(pos_a)[:, :m_cap]
+        ct_pos = jnp.zeros((codes.shape[0], m_cap + 1), jnp.int32) \
+            .at[bidx, rank_fwd].set(pos_b)[:, :m_cap]
+        cq = coords_db[idx_a[:, None], cq_pos]
+        ct = coords_db[idx_b[:, None], ct_pos]
+        valid = jnp.arange(m_cap)[None, :] < n_m[:, None]
+        lddt, risky = lddt_batch(cq, ct, valid, n_m.astype(jnp.int32),
+                                 with_risky=True)
+        return (best, lo_a, lo_b, bi, bj, plen.astype(jnp.int32),
+                path_rev, lddt, n_m.astype(jnp.int32), risky)
+
+    return jax.jit(run)
+
+
+def _vector_stats(fwd: np.ndarray, lddt: np.ndarray, sa: np.ndarray,
+                  sb: np.ndarray, la: np.ndarray, lb: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized TS/P/E in the reference's float32 order
+    (src/dssaligner.cpp:883-902 + src/statsig.cpp:27-50)."""
+    from reseek_tpu.align.pipeline import FLT_MAX, _ts_value
+    from reseek_tpu.constants import SCOP40C_DBSIZE, StatSig
+    f32 = np.float32
+    have = (sa != FLT_MAX) & (sb != FLT_MAX)
+    rev_dp = np.where(have, (sa.astype(f32) + sb.astype(f32)) / f32(2),
+                      f32(0.0)).astype(f32)
+    ts = _ts_value(lddt.astype(f32), fwd.astype(f32), rev_dp, la, lb)
+    tsd = ts.astype(np.float64)
+    log10p = np.where(tsd < StatSig.X1, StatSig.M0 * tsd + StatSig.C0,
+                      StatSig.M * tsd + StatSig.C)
+    p = np.minimum(np.power(10.0, log10p), 1.0)
+    return ts, p, p * SCOP40C_DBSIZE
+
+
+_PATH_CHARS = np.zeros(4, np.uint8)
+_PATH_CHARS[1:4] = [ord("M"), ord("D"), ord("I")]
+
+
+class DeviceSelfSearch:
+    """All-vs-all self search on the sorted-DB rectangular pipeline.
+
+    Produces the hit set of src/runself.cpp + src/dssaligner.cpp for all
+    pairs below the MKF routing threshold; callers handle long-chain
+    (MKF) pairs on the host path and merge.
+    """
+
+    def __init__(self, ecs: List[EncodedChain], params: DSSParams,
+                 with_rev_profiles: bool = True):
+        import jax.numpy as jnp
+        from reseek_tpu.encoder.dss import encode_chain
+        from reseek_tpu.ops.smx_jax import flat_layout
+
+        self.ecs = ecs
+        self.params = params
+        lens = np.array([len(ec) for ec in ecs], np.int64)
+        self.lens = lens
+        self.order = np.argsort(lens, kind="stable")
+        self.sorted_lens = lens[self.order]
+        lmax = int(lens.max()) if len(lens) else 1
+        self.edges = _edges_for(params, lmax)
+        self.lmaxp = self.edges[-1]
+        # bucket index per sorted position; contiguous ranges per bucket
+        self.bucket_of = np.searchsorted(np.asarray(self.edges),
+                                         self.sorted_lens)
+        self.range_of = {}
+        for bi in range(len(self.edges)):
+            sel = np.flatnonzero(self.bucket_of == bi)
+            if len(sel):
+                self.range_of[bi] = (int(sel[0]), int(sel[-1]) + 1)
+        # device-side routing limit: max(la, lb) < mkfl
+        self.n_device_buckets = sum(
+            1 for e in self.edges if e <= params.mkfl - 1)
+
+        offsets, d, w = flat_layout(params.features, params.weights)
+        self.offsets = jnp.asarray(offsets.astype(np.int32))
+        self.pad_code = int(d)
+        self.w = jnp.asarray(w)
+        self.mumx = jnp.asarray(_mu_matrix_padded())
+
+        n = len(ecs)
+        nf = len(params.features)
+        L = self.lmaxp
+        prof = np.full((n, nf, L), PAD_BYTE, np.uint8)
+        mu = np.full((n, L), 36, np.uint8)
+        mu_rev = np.full((n, L), 36, np.uint8)
+        coords = np.zeros((n, L, 3), np.float32)
+        for s, oi in enumerate(self.order):
+            ec = ecs[oi]
+            ln = min(len(ec), L)
+            prof[s, :, :ln] = ec.profile[:, :ln]
+            mu[s, :ln] = ec.mu_letters[:ln]
+            mu_rev[s, :ln] = ec.mu_letters[:ln][::-1]
+            coords[s, :ln] = ec.chain.coords[:ln]
+        self.prof = jnp.asarray(prof)
+        self.mu = jnp.asarray(mu)
+        self.mu_rev = jnp.asarray(mu_rev)
+        self.coords = jnp.asarray(coords)
+        self.prof_rev = None
+        if with_rev_profiles:
+            prof_rev = np.full((n, nf, L), PAD_BYTE, np.uint8)
+            for s, oi in enumerate(self.order):
+                ec = ecs[oi]
+                if len(ec) >= params.mkfl:
+                    continue  # long chains take the host MKF selfrev path
+                ln = min(len(ec), L)
+                rp = encode_chain(ec.chain.reversed()).profile(params)
+                prof_rev[s, :, :ln] = rp[:, :ln]
+            self.prof_rev = jnp.asarray(prof_rev)
+        # sorted index of each original index
+        self.sorted_of = np.empty(n, np.int64)
+        self.sorted_of[self.order] = np.arange(n)
+
+    # -- self-reversal scores (src/alignpair.cpp:7-25), device part ------
+    def self_rev_scores_device(self) -> np.ndarray:
+        """Scores for chains below mkfl (others: host MKF quirk path);
+        returns array indexed by ORIGINAL chain index (NaN where host)."""
+        import jax.numpy as jnp
+        p = self.params
+        k = _kernels()
+        out = np.full(len(self.ecs), np.nan, np.float32)
+        for bi in range(self.n_device_buckets):
+            if bi not in self.range_of:
+                continue
+            s0, s1 = self.range_of[bi]
+            e = self.edges[bi]
+            idx = jnp.arange(s0, s1)
+            sc = k["stage2_full"](
+                self.prof, self.prof_rev, idx, idx, self.w, self.offsets,
+                self.pad_code, e, float(p.gap_open), float(p.gap_ext))
+            out[self.order[s0:s1]] = np.asarray(sc)
+        return out
+
+    # -- stage 1: Mu filter bits over all device pairs -------------------
+    def stage1_survivors(self) -> np.ndarray:
+        """(i, j) ORIGINAL-index pairs (i <= j) passing the Mu filter, for
+        all pairs with both chains below mkfl.  With omega == 0 the filter
+        is off and all such pairs survive (src/dssaligner.cpp:819-828)."""
+        import jax.numpy as jnp
+        p = self.params
+        o, e = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
+        dev = [bi for bi in range(self.n_device_buckets)
+               if bi in self.range_of]
+        pair_chunks = []
+        if p.omega <= 0:
+            for ai in dev:
+                a0, a1 = self.range_of[ai]
+                for bi_ in dev:
+                    if bi_ < ai:
+                        continue
+                    b0, b1 = self.range_of[bi_]
+                    ia, ib = np.meshgrid(np.arange(a0, a1),
+                                         np.arange(b0, b1), indexing="ij")
+                    keep = ib >= ia
+                    pair_chunks.append(
+                        np.stack([ia[keep], ib[keep]], axis=1))
+        else:
+            jobs = []  # (handle, ia0, ib0, ca, cb, nsa, nsb, a1, b1)
+            for ai in dev:
+                a0, a1 = self.range_of[ai]
+                la = self.edges[ai]
+                for bi_ in dev:
+                    if bi_ < ai:
+                        continue
+                    b0, b1 = self.range_of[bi_]
+                    lb = self.edges[bi_]
+                    budget = max(256, STAGE1_CELLS // (la * lb))
+                    ca = int(min(64, budget))
+                    cb = int(min(max(8, budget // ca), 512))
+                    nsa = nsb = 4
+                    fn = _stage1_block_fn(
+                        la, lb, ca, cb, nsa, nsb, o, e,
+                        float(p.omega_fwd), float(p.omega))
+                    for ba in range(a0, a1, nsa * ca):
+                        for bb in range(b0, b1, nsb * cb):
+                            if bb + nsb * cb <= ba:
+                                continue  # entirely below the diagonal
+                            r = fn(self.mu, self.mu_rev, self.mumx,
+                                   ba, bb, a1, b1)
+                            jobs.append((r, ba, bb, ca, cb, nsa, nsb))
+            for r, ba, bb, ca, cb, nsa, nsb in jobs:
+                bits = np.asarray(r)  # [nsa*nsb, ca*cb//8]
+                flat = np.unpackbits(bits, axis=-1, bitorder="little")
+                for s in range(nsa * nsb):
+                    m = flat[s].reshape(ca, cb)
+                    ia_r, ib_r = np.nonzero(m)
+                    if not len(ia_r):
+                        continue
+                    ia = ba + (s // nsb) * ca + ia_r
+                    ib = bb + (s % nsb) * cb + ib_r
+                    pair_chunks.append(np.stack([ia, ib], axis=1))
+        if not pair_chunks:
+            return np.zeros((0, 2), np.int64)
+        sp = np.concatenate(pair_chunks)
+        # map sorted -> original, orient (min, max) by ORIGINAL index (the
+        # reference aligns query=i, target=j with i <= j, src/runself.cpp)
+        oi = self.order[sp[:, 0]]
+        oj = self.order[sp[:, 1]]
+        lo = np.minimum(oi, oj)
+        hi = np.maximum(oi, oj)
+        out = np.stack([lo, hi], axis=1)
+        return out[np.lexsort((out[:, 1], out[:, 0]))]
+
+    # -- stage 3: fused align + LDDT on survivors ------------------------
+    def align_survivors(self, pairs_orig: np.ndarray):
+        """Full alignment of (i, j) original-index pairs.  Returns a dict
+        {(i, j): AlignResult} including only alignments with a path."""
+        import jax.numpy as jnp
+        p = self.params
+        results: Dict[Tuple[int, int], AlignResult] = {}
+        if len(pairs_orig) == 0:
+            return results
+        use_pallas = _use_pallas()
+        edges = np.asarray(self.edges)
+        ba = edges[np.minimum(np.searchsorted(edges,
+                                              self.lens[pairs_orig[:, 0]]),
+                              len(edges) - 1)]
+        bb = edges[np.minimum(np.searchsorted(edges,
+                                              self.lens[pairs_orig[:, 1]]),
+                              len(edges) - 1)]
+        jobs = []
+        for key in sorted({(int(x), int(y)) for x, y in zip(ba, bb)}):
+            la, lb = key
+            rows = np.flatnonzero((ba == la) & (bb == lb))
+            bs = max(8, STAGE3_CELLS // (la * lb))
+            fn = _stage3_fn(la, lb, self.pad_code,
+                            float(p.gap_open), float(p.gap_ext), use_pallas)
+            for kk in range(0, len(rows), bs):
+                rr = rows[kk: kk + bs]
+                chunk = pairs_orig[rr]
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+                idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
+                idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
+                r = fn(self.prof, self.coords, idx_a, idx_b,
+                       self.w, self.offsets)
+                jobs.append((r, rr, chunk[:n]))
+        for r, rr, chunk in jobs:
+            (best, lo_a, lo_b, hi_a, hi_b, plen, path_rev, lddt,
+             n_m, risky) = [np.asarray(x) for x in r]
+            n = len(rr)
+            sa = np.array([self.ecs[i].self_rev_score for i in chunk[:, 0]],
+                          np.float32)
+            sb = np.array([self.ecs[j].self_rev_score for j in chunk[:, 1]],
+                          np.float32)
+            la_v = self.lens[chunk[:, 0]]
+            lb_v = self.lens[chunk[:, 1]]
+            # display-band check: device LDDT carries <~3e-7 of non-boundary
+            # rounding (TPU division); recompute on host any pair whose
+            # displayed values could change within the band
+            recompute = risky[:n].copy()
+            band = np.float32(1e-6)
+            ts_lo, pv_lo, ev_lo = _vector_stats(
+                best[:n], np.maximum(lddt[:n] - band, 0), sa, sb, la_v, lb_v)
+            ts_hi, pv_hi, ev_hi = _vector_stats(
+                best[:n], lddt[:n] + band, sa, sb, la_v, lb_v)
+            for kk in range(n):
+                if ("%.3g" % pv_lo[kk] != "%.3g" % pv_hi[kk]
+                        or "%.3g" % ev_lo[kk] != "%.3g" % ev_hi[kk]
+                        or "%.3g" % ts_lo[kk] != "%.3g" % ts_hi[kk]
+                        or "%.4g" % np.float32(lddt[kk] - band)
+                        != "%.4g" % np.float32(lddt[kk] + band)):
+                    recompute[kk] = True
+            ts, pv, ev = _vector_stats(best[:n], lddt[:n], sa, sb,
+                                       la_v, lb_v)
+            for kk in range(n):
+                if best[kk] <= 0:
+                    continue
+                i, j = int(chunk[kk, 0]), int(chunk[kk, 1])
+                codes = path_rev[kk, :plen[kk]][::-1]
+                path = _PATH_CHARS[codes].tobytes().decode()
+                res = AlignResult(
+                    query=self.ecs[i].label, target=self.ecs[j].label,
+                    fwd_score=float(best[kk]), lo_a=int(lo_a[kk]),
+                    lo_b=int(lo_b[kk]), path=path)
+                if best[kk] >= p.min_fwd_score:
+                    res.hi_a = int(hi_a[kk])
+                    res.hi_b = int(hi_b[kk])
+                    res.ids = int(n_m[kk])
+                    res.gaps = int(plen[kk]) - int(n_m[kk])
+                    if recompute[kk]:
+                        from reseek_tpu.align.pipeline import _path_positions
+                        from reseek_tpu.ops.lddt import lddt_mu_fast
+                        pos_q, pos_t = _path_positions(res.lo_a, res.lo_b,
+                                                       path)
+                        l_exact = lddt_mu_fast(
+                            self.ecs[i].chain.coords,
+                            self.ecs[j].chain.coords, pos_q, pos_t)
+                        tse, pve, eve = _vector_stats(
+                            best[kk:kk + 1], np.float32([l_exact]),
+                            sa[kk:kk + 1], sb[kk:kk + 1],
+                            la_v[kk:kk + 1], lb_v[kk:kk + 1])
+                        res.lddt = float(l_exact)
+                        res.ts = float(tse[0])
+                        res.pvalue = float(pve[0])
+                        res.evalue = float(eve[0])
+                    else:
+                        res.lddt = float(lddt[kk])
+                        res.ts = float(ts[kk])
+                        res.pvalue = float(pv[kk])
+                        res.evalue = float(ev[kk])
+                    res.qual = StatSig.qual(res.ts)
+                results[(i, j)] = res
+        return results
+
+
+def _use_pallas() -> bool:
+    import jax
+    impl = os.environ.get("RESEEK_SW", "auto")
+    return (impl == "pallas" or
+            (impl == "auto" and jax.default_backend() == "tpu"))
 
 
 def batched_self_search(ecs: List[EncodedChain], params: DSSParams,

@@ -64,3 +64,17 @@ def test_kabsch_recovers_rotation():
     assert msd < 1e-18
     assert np.allclose(u, R)
     assert np.allclose(t, [1.0, -2.0, 3.0])
+
+
+@pytest.mark.slow
+def test_q10_device_pipeline_byte_identical():
+    """The sorted-DB rectangular device pipeline (engine='device', here on
+    CPU) must produce the same bytes as the host path / reference."""
+    params = DSSParams.create("sensitive")
+    options = SearchOptions(columns=parse_columns(COLUMNS),
+                            max_evalue=10.0, mode="sensitive")
+    chains = read_bca(os.path.join(REF_TEST_DATA, "q10.bca"))
+    buf = io.StringIO()
+    self_search(chains, params, options, buf, engine="device")
+    golden = open(os.path.join(GOLDEN, "q10_sens.tsv")).read()
+    assert buf.getvalue() == golden
