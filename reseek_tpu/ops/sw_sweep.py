@@ -64,6 +64,22 @@ def _row_step(h_prev, h_prev2, e_prev, s_row, open_, ext, kext):
     return m + s_row, e
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# diagnostic counter for tests
+def sw_score_sweep_auto(s: jnp.ndarray, open_: float, ext: float):
+    """Pallas row-sweep on TPU, lax.scan elsewhere — identical values
+    (integer arithmetic is exact under any evaluation order)."""
+    import os
+    impl = os.environ.get("RESEEK_SW", "auto")
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"):
+        return sw_score_sweep_pallas(s, open_, ext)
+    return sw_score_sweep(s, open_, ext)
+
+
 @functools.partial(jax.jit, static_argnames=("open_", "ext"))
 def sw_score_sweep(s: jnp.ndarray, open_: float, ext: float) -> jnp.ndarray:
     """s: [B, LA, LB] f32 substitution tensor (NEG at padding).  Returns
@@ -83,6 +99,109 @@ def sw_score_sweep(s: jnp.ndarray, open_: float, ext: float) -> jnp.ndarray:
         step, (z, z, z, jnp.zeros((b, lb), jnp.float32)),
         jnp.transpose(s, (1, 0, 2)))
     return jnp.maximum(jnp.max(best, axis=-1), np.float32(0.0))
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU row-sweep: one kernel, DP state resident in VMEM.  The XLA
+# lax.scan version above pays ~80 us of device loop overhead PER ROW on
+# this TPU (measured); the Pallas grid iterates (batch-tile, row-block)
+# with the row loop unrolled inside the kernel, so the whole sweep is one
+# kernel launch per tile.
+# --------------------------------------------------------------------------
+
+K_ROWS = 8            # rows per grid step
+_SWEEP_VMEM = 10 * 1024 * 1024
+
+
+def _sweep_bt_for(lb: int, k: int) -> int:
+    """Batch-tile size under the VMEM budget (input block double-buffered
+    + 4 f32 state arrays)."""
+    per_pair = lb * 4 * (2 * k + 4)
+    bt = max(8, (_SWEEP_VMEM // per_pair) // 8 * 8)
+    return int(min(bt, 256))
+
+
+def _roll_right(x, s, fill):
+    from jax.experimental.pallas import tpu as pltpu
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < s, fill, pltpu.roll(x, s, 1))
+
+
+def _sweep_kernel(s_ref, out_ref, h1, h2, e1, bestv, *, open_, ext, k, lb):
+    from jax.experimental import pallas as pl
+
+    dd = pl.program_id(1)
+    ndd = pl.num_programs(1)
+
+    @pl.when(dd == 0)
+    def _():
+        for r in (h1, h2, e1):
+            r[:] = jnp.full_like(r, NEG)
+        bestv[:] = jnp.zeros_like(bestv)
+
+    ke = (jax.lax.broadcasted_iota(jnp.float32, h1.shape, 1)
+          * np.float32(ext))
+    for kk in range(k):
+        s_row = s_ref[:, kk, :]
+        hp = h1[:]
+        # F(i, j) = j*ext + cummax_{k<=j}(H(i-1, k-2) + open - k*ext)
+        a = _roll_right(hp, 2, NEG) + np.float32(open_) - ke
+        step = 1
+        while step < lb:
+            a = jnp.maximum(a, _roll_right(a, step, NEG))
+            step *= 2
+        f = a + ke
+        e = jnp.maximum(_roll_right(h2[:], 1, NEG) + np.float32(open_),
+                        e1[:] + np.float32(ext))
+        m = jnp.maximum(jnp.maximum(_roll_right(hp, 1, NEG), e),
+                        jnp.maximum(f, np.float32(0.0)))
+        h = m + s_row
+        h2[:] = hp
+        h1[:] = h
+        e1[:] = e
+        bestv[:] = jnp.maximum(bestv[:], h)
+
+    @pl.when(dd == ndd - 1)
+    def _():
+        out_ref[0, 0, :] = jnp.maximum(jnp.max(bestv[:], axis=1),
+                                       np.float32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("open_", "ext"))
+def sw_score_sweep_pallas(s: jnp.ndarray, open_: float,
+                          ext: float) -> jnp.ndarray:
+    """s: [B, LA, LB] f32 (NEG at padding), LB a multiple of 128.
+    Returns best local scores [B] (>= 0), equal to sw_score_sweep."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, la, lb = s.shape
+    k = K_ROWS
+    la_pad = -(-la // k) * k
+    if la_pad != la:
+        s = jnp.pad(s, ((0, 0), (0, la_pad - la), (0, 0)),
+                    constant_values=NEG)
+    bt = _sweep_bt_for(lb, k)
+    nb = -(-b // bt)
+    bpad = nb * bt
+    if bpad != b:
+        s = jnp.pad(s, ((0, bpad - b), (0, 0), (0, 0)), constant_values=NEG)
+
+    kern = functools.partial(_sweep_kernel, open_=np.float32(open_),
+                             ext=np.float32(ext), k=k, lb=lb)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb, la_pad // k),
+        in_specs=[pl.BlockSpec((bt, k, lb), lambda ib, dd: (ib, dd, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, bt), lambda ib, dd: (ib, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, bt), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, lb), jnp.float32)
+                        for _ in range(4)],
+        interpret=_interpret(),
+    )(s)
+    return out[:, 0, :].reshape(bpad)[:b]
 
 
 def mu_smx_onehot(a: jnp.ndarray, b: jnp.ndarray,

@@ -494,57 +494,121 @@ def _packbits_device(mask):
     return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
 
 
-@functools.lru_cache(maxsize=None)
-def _stage1_block_fn(la: int, lb: int, ca: int, cb: int, nsa: int, nsb: int,
-                     open_: float, ext: float, omega_fwd: float,
-                     omega: float):
-    """Compiled self-search stage-1 block: grid of nsa x nsb sub-chunks,
-    each (ca x cb) chain pairs, pair indices generated on device from
-    range scalars.  Returns packed pass bits [nsa*nsb, ca*cb//8]."""
-    import jax
+def _stage1_body(la: int, lb: int, ca: int, cb: int, open_: float,
+                 ext: float, omega_fwd: float, omega: float):
+    """One (ca x cb) pair block of the self-search Mu filter; pair indices
+    generated on device from range scalars.  Returns packed pass bits
+    [ca*cb//8]."""
     import jax.numpy as jnp
-    from reseek_tpu.ops.sw_sweep import mu_smx_onehot, sw_score_sweep
+    from reseek_tpu.ops.sw_sweep import mu_smx_onehot, sw_score_sweep_auto
 
     o = np.float32(open_)
     e = np.float32(ext)
 
     def block(mu, mu_rev, mumx, a0, b0, a1, b1):
         n = mu.shape[0]
+        ia = a0 + jnp.arange(ca)
+        ib = b0 + jnp.arange(cb)
+        va = ia < a1
+        vb = ib < b1
+        iac = jnp.clip(ia, 0, n - 1)
+        ibc = jnp.clip(ib, 0, n - 1)
+        idx_a = jnp.repeat(iac, cb)
+        idx_b = jnp.tile(ibc, ca)
+        a = mu[idx_a][:, :la].astype(jnp.int32)
+        ar = mu_rev[idx_a][:, :la].astype(jnp.int32)
+        b = mu[idx_b][:, :lb].astype(jnp.int32)
+        # fwd and rev in one kernel launch ([2B] batch)
+        both = sw_score_sweep_auto(
+            mu_smx_onehot(jnp.concatenate([a, ar]),
+                          jnp.concatenate([b, b]), mumx), o, e)
+        fwd, rev = both[: ca * cb], both[ca * cb:]
+        fwd = jnp.where(fwd > MU_SAT_LIMIT, np.float32(MU_SAT_SCORE), fwd)
+        rev = jnp.where(rev > MU_SAT_LIMIT,
+                        np.float32(MU_SAT_REV_SCORE), rev)
+        ok = (fwd >= np.float32(omega_fwd)) & \
+            (fwd - rev >= np.float32(omega))
+        # valid: in range and unordered pair emitted once (j >= i in
+        # sorted index space; cross-bucket ranges are disjoint)
+        valid = (jnp.repeat(va, cb) & jnp.tile(vb, ca)
+                 & (jnp.repeat(ia, cb) <= jnp.tile(ib, ca)))
+        return _packbits_device(ok & valid)
 
-        def sub(s):
-            sa, sb = s // nsb, s % nsb
-            ia = a0 + sa * ca + jnp.arange(ca)
-            ib = b0 + sb * cb + jnp.arange(cb)
-            va = ia < a1
-            vb = ib < b1
-            iac = jnp.clip(ia, 0, n - 1)
-            ibc = jnp.clip(ib, 0, n - 1)
-            idx_a = jnp.repeat(iac, cb)
-            idx_b = jnp.tile(ibc, ca)
-            a = mu[idx_a][:, :la].astype(jnp.int32)
-            ar = mu_rev[idx_a][:, :la].astype(jnp.int32)
-            b = mu[idx_b][:, :lb].astype(jnp.int32)
-            fwd = sw_score_sweep(mu_smx_onehot(a, b, mumx), o, e)
-            rev = sw_score_sweep(mu_smx_onehot(ar, b, mumx), o, e)
-            fwd = jnp.where(fwd > MU_SAT_LIMIT, np.float32(MU_SAT_SCORE), fwd)
-            rev = jnp.where(rev > MU_SAT_LIMIT,
-                            np.float32(MU_SAT_REV_SCORE), rev)
-            ok = (fwd >= np.float32(omega_fwd)) & \
-                (fwd - rev >= np.float32(omega))
-            # valid: in range and unordered pair emitted once (j >= i in
-            # sorted index space; cross-bucket ranges are disjoint)
-            valid = (jnp.repeat(va, cb) & jnp.tile(vb, ca)
-                     & (jnp.repeat(ia, cb) <= jnp.tile(ib, ca)))
-            return _packbits_device(ok & valid)
+    return block
 
-        return jax.lax.map(sub, jnp.arange(nsa * nsb))
+
+@functools.lru_cache(maxsize=None)
+def _stage1_block_fn(la: int, lb: int, ca: int, cb: int, nsa: int, nsb: int,
+                     open_: float, ext: float, omega_fwd: float,
+                     omega: float):
+    """Compiled single-device stage-1 block (returns bits [1, ca*cb//8])."""
+    import jax
+    body = _stage1_body(la, lb, ca, cb, open_, ext, omega_fwd, omega)
+
+    def block(mu, mu_rev, mumx, a0, b0, a1, b1):
+        return body(mu, mu_rev, mumx, a0, b0, a1, b1)[None]
 
     return jax.jit(block)
 
 
 @functools.lru_cache(maxsize=None)
+def _stage1_block_fn_sharded(mesh, axis: str, la: int, lb: int, ca: int,
+                             cb: int, open_: float, ext: float,
+                             omega_fwd: float, omega: float):
+    """Sharded stage-1: each mesh device runs one (ca x cb) block with its
+    own (a0, b0) start (SURVEY §2.8 item 2 — DB pair blocks over the mesh
+    replace the reference's thread work-stealing, src/runself.cpp:72-99).
+    Block starts a0v/b0v are [n_dev] arrays sharded on `axis`; the DB
+    arrays are replicated.  Returns bits [n_dev, ca*cb//8]."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.sharding import shard_map
+    body = _stage1_body(la, lb, ca, cb, open_, ext, omega_fwd, omega)
+
+    def local(mu, mu_rev, mumx, a0v, b0v, a1, b1):
+        return body(mu, mu_rev, mumx, a0v[0], b0v[0], a1[0], b1[0])[None]
+
+    sm = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
+                       open_: float, ext: float, use_pallas: bool):
+    """Data-parallel survivor alignment: the pair batch is sharded on
+    `axis`, the DB arrays are replicated; each device runs the identical
+    fused kernel on its slice, so results are bit-equal to single-device
+    (SURVEY §2.8 — on-chip batch parallelism over the mesh)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:
+        from jax.sharding import shard_map
+    body = _stage3_body(la, lb, pad_code, open_, ext, use_pallas)
+
+    sm = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis),) * 10)
+    return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=None)
 def _stage3_fn(la: int, lb: int, pad_code: int, open_: float, ext: float,
                use_pallas: bool):
+    import jax
+    return jax.jit(_stage3_body(la, lb, pad_code, open_, ext, use_pallas))
+
+
+def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
+                 use_pallas: bool):
     """Fused survivor kernel: full-profile SW with traceback, on-device
     path walk, aligned-column compaction, coordinate gather and LDDT."""
     import jax
@@ -613,7 +677,7 @@ def _stage3_fn(la: int, lb: int, pad_code: int, open_: float, ext: float,
         return (best, lo_a, lo_b, bi, bj, plen.astype(jnp.int32),
                 path_rev, lddt, n_m.astype(jnp.int32), risky)
 
-    return jax.jit(run)
+    return run
 
 
 def _vector_stats(fwd: np.ndarray, lddt: np.ndarray, sa: np.ndarray,
@@ -648,13 +712,16 @@ class DeviceSelfSearch:
     """
 
     def __init__(self, ecs: List[EncodedChain], params: DSSParams,
-                 with_rev_profiles: bool = True):
+                 with_rev_profiles: bool = True, mesh=None,
+                 mesh_axis: str = "db"):
         import jax.numpy as jnp
         from reseek_tpu.encoder.dss import encode_chain
         from reseek_tpu.ops.smx_jax import flat_layout
 
         self.ecs = ecs
         self.params = params
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         lens = np.array([len(ec) for ec in ecs], np.int64)
         self.lens = lens
         self.order = np.argsort(lens, kind="stable")
@@ -757,7 +824,9 @@ class DeviceSelfSearch:
                     pair_chunks.append(
                         np.stack([ia[keep], ib[keep]], axis=1))
         else:
-            jobs = []  # (handle, ia0, ib0, ca, cb, nsa, nsb, a1, b1)
+            import jax.numpy as jnp
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            jobs = []  # (handle, [(ba, bb)] per row, ca, cb)
             for ai in dev:
                 a0, a1 = self.range_of[ai]
                 la = self.edges[ai]
@@ -769,28 +838,48 @@ class DeviceSelfSearch:
                     budget = max(256, STAGE1_CELLS // (la * lb))
                     ca = int(min(64, budget))
                     cb = int(min(max(8, budget // ca), 512))
-                    nsa = nsb = 4
-                    fn = _stage1_block_fn(
-                        la, lb, ca, cb, nsa, nsb, o, e,
-                        float(p.omega_fwd), float(p.omega))
-                    for ba in range(a0, a1, nsa * ca):
-                        for bb in range(b0, b1, nsb * cb):
-                            if bb + nsb * cb <= ba:
-                                continue  # entirely below the diagonal
+                    starts = [(ba, bb)
+                              for ba in range(a0, a1, ca)
+                              for bb in range(b0, b1, cb)
+                              if bb + cb > ba]  # skip below-diagonal blocks
+                    if self.mesh is None:
+                        fn = _stage1_block_fn(
+                            la, lb, ca, cb, 1, 1, o, e,
+                            float(p.omega_fwd), float(p.omega))
+                        for ba, bb in starts:
                             r = fn(self.mu, self.mu_rev, self.mumx,
                                    ba, bb, a1, b1)
-                            jobs.append((r, ba, bb, ca, cb, nsa, nsb))
-            for r, ba, bb, ca, cb, nsa, nsb in jobs:
-                bits = np.asarray(r)  # [nsa*nsb, ca*cb//8]
-                flat = np.unpackbits(bits, axis=-1, bitorder="little")
-                for s in range(nsa * nsb):
+                            jobs.append((r, [(ba, bb)], ca, cb))
+                    else:
+                        fn = _stage1_block_fn_sharded(
+                            self.mesh, self.mesh_axis, la, lb, ca, cb,
+                            o, e, float(p.omega_fwd), float(p.omega))
+                        for g in range(0, len(starts), n_dev):
+                            grp = starts[g: g + n_dev]
+                            pad = n_dev - len(grp)
+                            av = np.array([s[0] for s in grp] + [0] * pad,
+                                          np.int32)
+                            bv = np.array([s[1] for s in grp] + [0] * pad,
+                                          np.int32)
+                            a1v = np.array([a1] * len(grp) + [0] * pad,
+                                           np.int32)
+                            b1v = np.array([b1] * len(grp) + [0] * pad,
+                                           np.int32)
+                            r = fn(self.mu, self.mu_rev, self.mumx,
+                                   jnp.asarray(av), jnp.asarray(bv),
+                                   jnp.asarray(a1v), jnp.asarray(b1v))
+                            jobs.append((r, grp, ca, cb))
+            for r, grp, ca, cb in jobs:
+                bits = np.asarray(r)  # [rows, ca*cb//8]
+                flat = np.unpackbits(bits[: len(grp)], axis=-1,
+                                     bitorder="little")
+                for s, (ba, bb) in enumerate(grp):
                     m = flat[s].reshape(ca, cb)
                     ia_r, ib_r = np.nonzero(m)
                     if not len(ia_r):
                         continue
-                    ia = ba + (s // nsb) * ca + ia_r
-                    ib = bb + (s % nsb) * cb + ib_r
-                    pair_chunks.append(np.stack([ia, ib], axis=1))
+                    pair_chunks.append(
+                        np.stack([ba + ia_r, bb + ib_r], axis=1))
         if not pair_chunks:
             return np.zeros((0, 2), np.int64)
         sp = np.concatenate(pair_chunks)
@@ -820,13 +909,21 @@ class DeviceSelfSearch:
         bb = edges[np.minimum(np.searchsorted(edges,
                                               self.lens[pairs_orig[:, 1]]),
                               len(edges) - 1)]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
         jobs = []
         for key in sorted({(int(x), int(y)) for x, y in zip(ba, bb)}):
             la, lb = key
             rows = np.flatnonzero((ba == la) & (bb == lb))
             bs = max(8, STAGE3_CELLS // (la * lb))
-            fn = _stage3_fn(la, lb, self.pad_code,
-                            float(p.gap_open), float(p.gap_ext), use_pallas)
+            if self.mesh is not None:
+                bs = -(-bs // n_dev) * n_dev
+                fn = _stage3_fn_sharded(
+                    self.mesh, self.mesh_axis, la, lb, self.pad_code,
+                    float(p.gap_open), float(p.gap_ext), use_pallas)
+            else:
+                fn = _stage3_fn(la, lb, self.pad_code,
+                                float(p.gap_open), float(p.gap_ext),
+                                use_pallas)
             for kk in range(0, len(rows), bs):
                 rr = rows[kk: kk + bs]
                 chunk = pairs_orig[rr]

@@ -87,3 +87,20 @@ def test_mu_filter_mask_matches_pair_aligner():
         re_ = 255.0 if rev[k] > 250.0 else float(rev[k])
         if exact != 0.0:  # 0 means rejected before rev in the host path
             assert fe - re_ == exact
+
+
+def test_sweep_pallas_matches_scan():
+    """Pallas row-sweep (interpret mode on CPU) == lax.scan sweep."""
+    import jax.numpy as jnp
+    from reseek_tpu.ops.sw_sweep import sw_score_sweep_pallas
+    rng = np.random.default_rng(11)
+    mats = []
+    for _ in range(10):
+        a, b = rng.integers(3, 120, 2)
+        mats.append(rng.integers(-7, 5, (a, b)).astype(np.float32))
+    s = _pad_batch(mats, 120, 128)
+    got = np.asarray(sw_score_sweep_pallas(jnp.asarray(s), -2.0, -1.0))
+    want = np.asarray(sw_score_sweep(jnp.asarray(s), -2.0, -1.0))
+    assert np.array_equal(got, want)
+    for k, m in enumerate(mats):
+        assert got[k] == sw_score(m, -2.0, -1.0)
