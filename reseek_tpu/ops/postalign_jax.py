@@ -142,7 +142,8 @@ def lddt_batch(cq: jnp.ndarray, ct: jnp.ndarray, valid: jnp.ndarray,
         c = carry + x
         return c, None
 
-    total, _ = jax.lax.scan(add, jnp.zeros(scores.shape[0], jnp.float32),
+    # init carry derived from scores so it inherits shard_map varying axes
+    total, _ = jax.lax.scan(add, scores[:, 0] * np.float32(0.0),
                             jnp.transpose(scores))
     out = total / jnp.maximum(ncols, 1).astype(jnp.float32)
     if with_risky:

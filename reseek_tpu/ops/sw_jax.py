@@ -104,13 +104,17 @@ def sw_traceback_batch(s: jnp.ndarray, open_: float, ext: float):
     s_skew = _skew(s)
     iidx = jnp.arange(la)[None, :]
 
-    def init(shape):
-        return jnp.full(shape, NEG, jnp.float32)
+    # derive the zero carries from s so they inherit any shard_map varying
+    # axes (a plain jnp.full carry fails scan's vma type check)
+    zrow = s[:, :, 0] * np.float32(0.0)   # [B, LA]
+    zvec = zrow[:, 0]                      # [B]
+
+    def init(_shape):
+        return zrow + NEG
 
     carry = (init((b, la)), init((b, la)), init((b, la)),
              init((b, la)), init((b, la)),
-             jnp.zeros((b,), jnp.float32),
-             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32))
+             zvec, zvec.astype(jnp.int32), zvec.astype(jnp.int32))
 
     def step(carry, s_diag_d):
         s_diag, d = s_diag_d

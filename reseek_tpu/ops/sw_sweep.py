@@ -94,10 +94,12 @@ def sw_score_sweep(s: jnp.ndarray, open_: float, ext: float) -> jnp.ndarray:
         h, e = _row_step(h_prev, h_prev2, e_prev, s_row, open_, ext, kext)
         return (h, h_prev, e, jnp.maximum(best, h)), None
 
-    z = jnp.full((b, lb), NEG, jnp.float32)
+    # derive the init carry from s so it inherits any shard_map varying
+    # axes (a plain jnp.full carry fails scan's vma type check)
+    z0 = s[:, 0, :] * np.float32(0.0)
+    z = z0 + NEG
     (h, h2, e, best), _ = jax.lax.scan(
-        step, (z, z, z, jnp.zeros((b, lb), jnp.float32)),
-        jnp.transpose(s, (1, 0, 2)))
+        step, (z, z, z, z0), jnp.transpose(s, (1, 0, 2)))
     return jnp.maximum(jnp.max(best, axis=-1), np.float32(0.0))
 
 
@@ -139,8 +141,9 @@ def _sweep_kernel(s_ref, out_ref, h1, h2, e1, bestv, *, open_, ext, k, lb):
             r[:] = jnp.full_like(r, NEG)
         bestv[:] = jnp.zeros_like(bestv)
 
-    ke = (jax.lax.broadcasted_iota(jnp.float32, h1.shape, 1)
-          * np.float32(ext))
+    # Mosaic only supports integer iota; build the f32 ramp by casting.
+    ke = (jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
+          .astype(jnp.float32) * np.float32(ext))
     for kk in range(k):
         s_row = s_ref[:, kk, :]
         hp = h1[:]

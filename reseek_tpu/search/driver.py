@@ -76,18 +76,22 @@ def _tpu_available() -> bool:
 
 def self_search(chains: List[Chain], params: DSSParams,
                 options: SearchOptions, out: TextIO,
-                engine: str = "auto") -> SearchDriver:
+                engine: str = "auto", mesh=None) -> SearchDriver:
     """All-vs-all (src/runself.cpp): pairs (i, j >= i), self pair emitted
     once, other pairs in both orientations.
 
     engine: "auto" uses the batched device engine when a TPU is attached,
-    "device" forces it, "host" runs the per-pair numpy path."""
+    "device" forces it, "host" runs the per-pair numpy path.
+    mesh: optional jax.sharding.Mesh; stage-1 pair blocks and survivor
+    alignment batches are sharded over its devices (SURVEY §2.8 items
+    1-3), with bit-identical results to single-device."""
     if engine == "auto":
-        engine = "device" if _tpu_available() else "host"
+        engine = "device" if (_tpu_available() or mesh is not None) \
+            else "host"
     if options.global_aln:
         return _self_search_global(chains, params, options, out)
     if engine == "device":
-        return _self_search_device(chains, params, options, out)
+        return _self_search_device(chains, params, options, out, mesh=mesh)
     ecs = [encode_for_search(c, params, with_self_rev=True)
            for c in chains]
     drv = SearchDriver(params, options, out)
@@ -138,7 +142,8 @@ def _self_search_global(chains: List[Chain], params: DSSParams,
 
 
 def _self_search_device(chains: List[Chain], params: DSSParams,
-                        options: SearchOptions, out: TextIO) -> SearchDriver:
+                        options: SearchOptions, out: TextIO,
+                        mesh=None) -> SearchDriver:
     """Batched all-vs-all on the sorted-DB rectangular device pipeline
     (engine.DeviceSelfSearch); long-chain (MKF-routed) pairs run on the
     host path for reference parity."""
@@ -146,7 +151,7 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
     from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
     ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
-    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=True)
+    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=True, mesh=mesh)
     # self-rev: device for short chains, host MKF quirk path for long ones
     srs = pipe.self_rev_scores_device()
     from reseek_tpu.align.pipeline import self_rev_score

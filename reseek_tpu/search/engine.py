@@ -563,9 +563,9 @@ def _stage1_block_fn_sharded(mesh, axis: str, la: int, lb: int, ca: int,
     import jax
     from jax.sharding import PartitionSpec as P
     try:
+        from jax import shard_map
+    except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.sharding import shard_map
     body = _stage1_body(la, lb, ca, cb, open_, ext, omega_fwd, omega)
 
     def local(mu, mu_rev, mumx, a0v, b0v, a1, b1):
@@ -588,9 +588,9 @@ def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
     import jax
     from jax.sharding import PartitionSpec as P
     try:
+        from jax import shard_map
+    except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
-    except ImportError:
-        from jax.sharding import shard_map
     body = _stage3_body(la, lb, pad_code, open_, ext, use_pallas)
 
     sm = shard_map(

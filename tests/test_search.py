@@ -78,3 +78,30 @@ def test_q10_device_pipeline_byte_identical():
     self_search(chains, params, options, buf, engine="device")
     golden = open(os.path.join(GOLDEN, "q10_sens.tsv")).read()
     assert buf.getvalue() == golden
+
+
+@pytest.mark.slow
+def test_q10_sharded_mesh_byte_identical():
+    """Multi-chip search (SURVEY §2.8): the engine sharded over an
+    8-virtual-device mesh must produce hit-for-hit (byte-identical)
+    output vs the single-device engine / reference golden."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    params = DSSParams.create("sensitive")
+    options = SearchOptions(columns=parse_columns(COLUMNS),
+                            max_evalue=10.0, mode="sensitive")
+    chains = read_bca(os.path.join(REF_TEST_DATA, "q10.bca"))
+    # 6 shortest chains: exercises the mesh path with few bucket shapes
+    # (the full-set single-device parity is covered by the test above)
+    chains = sorted(chains, key=lambda c: len(c.seq))[:6]
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should force 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), ("db",))
+    buf_mesh, buf_one = io.StringIO(), io.StringIO()
+    self_search(chains, params, options, buf_mesh, engine="device",
+                mesh=mesh)
+    self_search(chains, params, options, buf_one, engine="device")
+    assert buf_mesh.getvalue() == buf_one.getvalue()
+    assert buf_mesh.getvalue().count("\n") > 5
