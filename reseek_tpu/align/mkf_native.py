@@ -18,6 +18,9 @@ from reseek_tpu.ops.substmx import weighted_matrices
 _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native", "mkf.cpp")
 
+# guards only the compile-and-load step; mkf_align itself has no global
+# state (all buffers are caller-owned), so concurrent calls are safe and
+# run GIL-free (ctypes releases the GIL for the foreign call)
 _lock = threading.Lock()
 
 
@@ -30,15 +33,16 @@ def _lib() -> Optional[ctypes.CDLL]:
         os.path.join(os.path.dirname(_SRC), "build"))
     so_path = os.path.join(cache_dir, "libmkf.so")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
-            os.makedirs(cache_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O2", "-march=native", "-shared", "-fPIC",
-                 _SRC, "-o", so_path + ".tmp"],
-                check=True, capture_output=True)
-            os.replace(so_path + ".tmp", so_path)
-        lib = ctypes.CDLL(so_path)
+        with _lock:
+            if (not os.path.exists(so_path)
+                    or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                os.makedirs(cache_dir, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-march=native", "-shared", "-fPIC",
+                     _SRC, "-o", so_path + ".tmp"],
+                    check=True, capture_output=True)
+                os.replace(so_path + ".tmp", so_path)
+            lib = ctypes.CDLL(so_path)
     except Exception:
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -93,8 +97,7 @@ def align_mkf_native(q, t, params: DSSParams
     best_hsp = ctypes.c_int()
     best_chain = ctypes.c_int()
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    with _lock:
-        ok = lib.mkf_align(
+    ok = lib.mkf_align(
             lets_q.ctypes.data_as(u8p), lq, lets_t.ctypes.data_as(u8p), lt,
             pq.ctypes.data_as(u8p), pt.ctypes.data_as(u8p),
             ctypes.c_int(pq.shape[0]),

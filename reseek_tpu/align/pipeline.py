@@ -138,8 +138,20 @@ class PairAligner:
 
     def mu_filter_score(self, q: EncodedChain, t: EncodedChain) -> float:
         """fwd SW on Mu letters; if fwd < OmegaFwd -> 0; else fwd - rev
-        (src/parasail_mu.cpp:120-161, gap open 2 / ext 1)."""
+        (src/parasail_mu.cpp:120-161, gap open 2 / ext 1).  With
+        use_para=False the gapless fallback kernel scores the filter
+        instead (AlignMuQP, src/dssaligner.cpp:1055-1067 ->
+        SWFastPinopGapless, src/swfastpinopgapless.cpp:6-46)."""
         p = self.params
+        if not p.use_para:
+            from reseek_tpu.ops.sw_np import sw_gapless_score
+            fwd = float(sw_gapless_score(
+                build_mu_smx(q.mu_letters, t.mu_letters)))
+            if fwd < p.omega_fwd:
+                return 0.0
+            rev = float(sw_gapless_score(
+                build_mu_smx(q.mu_letters[::-1], t.mu_letters)))
+            return fwd - rev
         open_, ext = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
         fwd = sw_score(build_mu_smx(q.mu_letters, t.mu_letters), open_, ext)
         if fwd > MU_SAT_LIMIT:

@@ -60,6 +60,10 @@ class Chain:
         return Chain(self.label + ".rev", self.seq[::-1],
                      self.coords[::-1].copy())
 
+    def flipped(self) -> "Chain":
+        """Coordinate negation = mirror image (PDBChain::Flip)."""
+        return Chain(self.label, self.seq, -self.coords)
+
     def ics(self) -> np.ndarray:
         """Flattened uint16 integer coords x0,y0,z0,x1,... [3L]."""
         return coord_to_ic(self.coords).reshape(-1)

@@ -36,15 +36,34 @@ def _mode_from_args(args, default: Optional[str] = None) -> str:
 
 
 def cmd_convert(args) -> int:
+    """Format conversion with the reference's chain filters
+    (src/convert.cpp:110-199: -reverse, -flip, label set, -minchainlength,
+    -subsample N keeps every Nth input chain)."""
     from reseek_tpu.encoder.dss import encode_chain, feature_string
     from reseek_tpu.io.bca import BCAWriter
     from reseek_tpu.io.cal import write_cal
     from reseek_tpu.io.reader import read_chains
 
-    chains = read_chains(args.input)
-    if args.minchainlength:
-        chains = [c for c in chains if len(c) >= args.minchainlength]
-    n = 0
+    label_set = None
+    if args.labels:
+        with open(args.labels) as f:
+            label_set = {line.strip().upper() for line in f if line.strip()}
+
+    from reseek_tpu.chain import Chain
+    chains = []
+    for i, c in enumerate(read_chains(args.input), 1):
+        if args.reverse:
+            # in-place Reverse() keeps the label (src/pdbchain.cpp:470-483)
+            c = Chain(c.label, c.seq[::-1], c.coords[::-1].copy())
+        if args.flip:
+            c = c.flipped()
+        if label_set is not None and c.label.upper() not in label_set:
+            continue
+        if args.minchainlength and len(c) < args.minchainlength:
+            continue
+        if args.subsample and i % args.subsample != 0:
+            continue
+        chains.append(c)
     if args.bca:
         with BCAWriter(args.bca) as w:
             for c in chains:
@@ -56,13 +75,40 @@ def cmd_convert(args) -> int:
         with open(args.fasta, "w") as f:
             for c in chains:
                 f.write(f">{c.label}\n{c.seq}\n")
+    if args.pdb:
+        # multi-PDB: MODEL/TITLE/ENDMDL per chain (src/convert.cpp:169-182)
+        from reseek_tpu.io.pdb import write_pdb
+        with open(args.pdb, "w") as f:
+            for k, c in enumerate(chains):
+                f.write("MODEL%10u\n" % k)
+                f.write("TITLE     %s\n" % (c.label or "_blank_%u" % k))
+                write_pdb(c, f)
+                f.write("ENDMDL\n")
     if args.feature_fasta:
         with open(args.feature_fasta, "w") as f:
             for c in chains:
                 s = feature_string(encode_chain(c), args.alpha)
                 f.write(f">{c.label}\n{s}\n")
+    if args.index:
+        from reseek_tpu.io.artifact import write_artifact
+        modes = [m for m in args.index_modes.split(",") if m]
+        write_artifact(args.index, chains, modes=modes,
+                       progress=lambda i, n: print(
+                           f"\rindexed {i}/{n} chains", end="",
+                           file=sys.stderr))
+        print(file=sys.stderr)
     print(f"{len(chains)} chains converted", file=sys.stderr)
     return 0
+
+
+def _read_chains_or_artifact(path: str, params):
+    """A .rsdx path loads pre-encoded chains (skipping all DSS work);
+    anything else parses structures (src/search.cpp:96-99 -dbmu role)."""
+    from reseek_tpu.io.artifact import is_artifact, load_artifact
+    from reseek_tpu.io.reader import read_chains
+    if is_artifact(path):
+        return load_artifact(path, params, mode=params.mode)
+    return read_chains(path)
 
 
 def cmd_search(args) -> int:
@@ -87,30 +133,40 @@ def cmd_search(args) -> int:
     # always uses SCOP40c_DBSIZE=8340 (src/statsig.h:3; the only consumer
     # of -dbsize is cmd_postmufilter's assert, src/postmufilter.cpp:317)
 
+    from reseek_tpu.utils.logger import open_log
+    lg = open_log(args.log)
+
     columns = parse_columns(args.columns)
     max_e = args.evalue if args.evalue is not None else (
         float("inf") if mode == "verysensitive" else 10.0)
+    trace = ((args.label1, args.label2)
+             if args.label1 and args.label2 else None)
     options = SearchOptions(columns=columns, max_evalue=max_e,
                             no_self=args.noself, mode=mode,
                             global_aln=args.global_aln,
-                            scores_are_not_evalues=args.scores_are_not_evalues)
+                            scores_are_not_evalues=args.scores_are_not_evalues,
+                            trace_labels=trace)
 
     out = open(args.output, "w") if args.output else sys.stdout
+    aln = open(args.aln, "w") if args.aln else None
+    options.aln_out = aln
     try:
-        chains = read_chains(args.input)
+        chains = _read_chains_or_artifact(args.input, params)
         if args.db and mode == "fast":
             from reseek_tpu.search.driver import fast_search
-            db_chains = read_chains(args.db)
-            drv = fast_search(chains, db_chains, params, options, out)
+            drv = fast_search(chains, args.db, params, options, out,
+                              dbmu=args.dbmu)
         elif args.db:
-            db_chains = read_chains(args.db)
+            db_chains = _read_chains_or_artifact(args.db, params)
             drv = query_search(chains, db_chains, params, options, out)
         else:
             drv = self_search(chains, params, options, out)
-        print(f"{drv.hit_count} hits", file=sys.stderr)
+        drv.run_stats(n_threads=max(1, args.threads))
     finally:
         if args.output:
             out.close()
+        if aln:
+            aln.close()
     return 0
 
 
@@ -281,6 +337,76 @@ def cmd_scop40bench(args) -> int:
     return 0
 
 
+def cmd_fit_gumbel(args) -> int:
+    """Fit Scale*Gumbel(mu, beta) to a histogram file; input format of
+    cmd_fit_gumbel (src/gumbel.cpp:253-283): first line `x0<TAB>dx`, then
+    one y value per line; ys normalized to sum 1."""
+    from reseek_tpu.benchmarks.calibrate import fit_gumbel
+    with open(args.input) as f:
+        lines = [line.strip() for line in f if line.strip()]
+    x0, dx = (float(v) for v in lines[0].split("\t"))
+    ys = np.array([float(v) for v in lines[1:]], np.float64)
+    ys = ys / ys.sum()
+    xs = x0 + dx * np.arange(len(ys))
+    mu, beta, scale = fit_gumbel(xs, ys)
+    print(f"mu={mu:.6g} beta={beta:.6g} scale={scale:.6g}")
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    """P-value model calibration from an all-vs-all search of a decoy set
+    (cmd_calibrate, src/calibrate.cpp:12-60 + src/gumbel.cpp): runs the
+    search, histograms the test statistics, fits Gumbel + the two-piece
+    log-linear StatSig model, and prints the fitted constants next to the
+    shipped ones (src/statsig.cpp:27-44)."""
+    import io as _io
+
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.benchmarks.calibrate import (fit_gumbel, fit_log_linear,
+                                                 gumbel_cdf)
+    from reseek_tpu.constants import DSSParams, StatSig
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import SearchOptions, self_search
+
+    mode = _mode_from_args(args, default="fast")
+    params = DSSParams.create(mode)
+    chains = [c for c in read_chains(args.input) if len(c) >= 1]
+    options = SearchOptions(columns=parse_columns("query+target+ts"),
+                            max_evalue=float("inf"), mode=mode,
+                            scores_are_not_evalues=True)
+    buf = _io.StringIO()
+    self_search(chains, params, options, buf, engine=args.engine)
+    ts_vals = []
+    for line in buf.getvalue().splitlines():
+        q, t, ts = line.split("\t")
+        if q != t:           # self pairs are not decoys
+            ts_vals.append(float(ts))
+    ts = np.asarray(ts_vals, np.float64)
+    if len(ts) < 10:
+        raise SystemExit("too few aligned pairs to calibrate")
+    # histogram (the reference bins per chain then accumulates; a global
+    # TS histogram gives the same fitted curve family)
+    nbins = 32
+    ys, edges = np.histogram(ts, bins=nbins)
+    xs = (edges[:-1] + edges[1:]) / 2
+    mu, beta, scale = fit_gumbel(xs, ys / max(ys.sum(), 1))
+    fit = fit_log_linear(ts, n_queries=len(chains))
+    print(f"gumbel: mu={mu:.6g} beta={beta:.6g}")
+    print(f"loglinear: x1={fit.x1:.6g} m0={fit.m0:.6g} c0={fit.c0:.6g} "
+          f"m={fit.m:.6g} c={fit.c:.6g}")
+    print(f"shipped:   x1={StatSig.X1:.6g} m0={StatSig.M0:.6g} "
+          f"c0={StatSig.C0:.6g} m={StatSig.M:.6g} c={StatSig.C:.6g}")
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write("%.6g\t%.6g\n" % (xs[0], xs[1] - xs[0]))
+            for y in ys:
+                f.write("%d\n" % y)
+            f.write("# gumbel mu=%.6g beta=%.6g\n" % (mu, beta))
+            f.write("# P(TS>=t) fit: x1=%.6g m0=%.6g c0=%.6g m=%.6g "
+                    "c=%.6g\n" % (fit.x1, fit.m0, fit.c0, fit.m, fit.c))
+    return 0
+
+
 def cmd_chains2pdbs(args) -> int:
     """Write each chain to its own PDB file (src/chains2pdbs.cpp)."""
     import os
@@ -318,12 +444,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fasta")
     p.add_argument("--feature-fasta", dest="feature_fasta")
     p.add_argument("--alpha", default="Mu")
+    p.add_argument("--pdb", help="multi-PDB output (MODEL per chain)")
     p.add_argument("--minchainlength", type=int, default=0)
+    p.add_argument("--labels", help="keep only labels listed in this file")
+    p.add_argument("--subsample", type=int, default=0,
+                   help="keep every Nth input chain")
+    p.add_argument("--reverse", action="store_true",
+                   help="reverse residue order")
+    p.add_argument("--flip", action="store_true",
+                   help="negate coordinates (mirror image)")
+    p.add_argument("--index", help="write a pre-encoded .rsdx artifact "
+                                   "(search loads it with zero DSS work)")
+    p.add_argument("--index-modes", default="fast,sensitive",
+                   help="modes whose self-rev scores to precompute")
     p.set_defaults(func=cmd_convert)
 
     p = sub.add_parser("search", help="structure search")
     p.add_argument("input")
     p.add_argument("--db")
+    p.add_argument("--dbmu", help="Mu-letter FASTA of the DB: the -fast "
+                                  "prefilter skips DB encoding "
+                                  "(reference -dbmu, search.cpp:96-99)")
     _add_mode_args(p)
     p.add_argument("--output", "-o")
     p.add_argument("--columns", default="std")
@@ -345,6 +486,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the E-value output gate")
     p.add_argument("--threads", type=int, default=0,
                    help="host worker threads (0 = all cores)")
+    p.add_argument("--log", help="write a log file (reference -log)")
+    p.add_argument("--aln", help="write pretty alignment blocks "
+                                 "(reference -aln)")
+    p.add_argument("--label1", help="with --label2: log a full pipeline "
+                                    "trace for this chain pair")
+    p.add_argument("--label2")
     p.set_defaults(func=cmd_search)
 
     p = sub.add_parser("alignpair", help="align best chain pair of two files")
@@ -381,6 +528,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "device", "host"])
     p.set_defaults(func=cmd_scop40bench)
+
+    p = sub.add_parser("fit-gumbel",
+                       help="fit a Gumbel curve to a histogram file")
+    p.add_argument("input")
+    p.set_defaults(func=cmd_fit_gumbel)
+
+    p = sub.add_parser("calibrate",
+                       help="fit P-value model constants from a decoy "
+                            "all-vs-all search")
+    p.add_argument("input")
+    _add_mode_args(p)
+    p.add_argument("--output", help="write the TS histogram + fits")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"])
+    p.set_defaults(func=cmd_calibrate)
 
     p = sub.add_parser("chains2pdbs", help="one PDB file per chain")
     p.add_argument("input")

@@ -93,6 +93,7 @@ class DSSParams:
     evalue_a: float = 4.0
     evalue_b: float = -43.0
     aa_only: bool = False
+    mode: str = "sensitive"       # preset name this instance came from
 
     @staticmethod
     def create(mode: str = "sensitive") -> "DSSParams":
@@ -115,7 +116,7 @@ class DSSParams:
                 mkf_min_mega_hsp_score=-99999.0, min_fwd_score=0.0)
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        return p
+        return dataclasses.replace(p, mode=mode)
 
 
 class StatSig:

@@ -78,11 +78,14 @@ def sw_score_batch(s: jnp.ndarray, open_: float,
     b, la, lb = s.shape
     s_skew = _skew(s)
 
-    def init(shape):
-        return jnp.full(shape, NEG, jnp.float32)
+    # derive the carries from s so they inherit any shard_map varying
+    # axes (a plain jnp.full carry fails scan's vma type check)
+    zrow = s[:, :, 0] * np.float32(0.0)   # [B, LA]
 
-    carry = (init((b, la)), init((b, la)), init((b, la)),
-             init((b, la)), init((b, la)), jnp.zeros((b,), jnp.float32))
+    def init():
+        return zrow + NEG
+
+    carry = (init(), init(), init(), init(), init(), zrow[:, 0])
 
     def step(carry, s_diag):
         h1, h2, h3, e1, f1, best = carry
@@ -109,11 +112,10 @@ def sw_traceback_batch(s: jnp.ndarray, open_: float, ext: float):
     zrow = s[:, :, 0] * np.float32(0.0)   # [B, LA]
     zvec = zrow[:, 0]                      # [B]
 
-    def init(_shape):
+    def init():
         return zrow + NEG
 
-    carry = (init((b, la)), init((b, la)), init((b, la)),
-             init((b, la)), init((b, la)),
+    carry = (init(), init(), init(), init(), init(),
              zvec, zvec.astype(jnp.int32), zvec.astype(jnp.int32))
 
     def step(carry, s_diag_d):

@@ -158,3 +158,21 @@ def sw_align(S: np.ndarray, open_: float, ext: float
     # the M appended at loop index i corresponds to H-cell (i-1, j-1), so
     # the alignment starts at (i-1, j-1) (sw.cpp:40-45 with the +1 offsets)
     return best, i - 1, j - 1, "".join(path)
+
+
+def sw_gapless_score(S: np.ndarray) -> int:
+    """Gapless local SW over an integer substitution matrix: the Mu-filter
+    fallback used when SIMD SW is unavailable (SWFastPinopGapless,
+    src/swfastpinopgapless.cpp:6-46).  Row-sweep recurrence
+    x[i, j] = max(x[i-1, j-1], 0) + S[i, j], vectorized over j."""
+    la, lb = S.shape
+    s32 = S.astype(np.int32)
+    prev = np.zeros(lb + 1, np.int32)   # prev[j+1] = x[i-1, j]
+    best = np.int32(0)
+    for i in range(la):
+        cur = np.maximum(prev[:-1], 0) + s32[i]
+        b = cur.max() if lb else np.int32(0)
+        if b > best:
+            best = b
+        prev[1:] = cur
+    return int(best)

@@ -211,7 +211,12 @@ def mu_smx_onehot(a: jnp.ndarray, b: jnp.ndarray,
                   mumx_padded: jnp.ndarray) -> jnp.ndarray:
     """S[b,i,j] = mumx[a[b,i], b[b,j]] via one-hot MXU matmuls; letter 36
     is padding (mumx_padded rows/cols 36 = NEG/2, so padded cells go to
-    ~NEG).  Integer matrix values are exact in bf16."""
+    ~NEG).  Integer matrix values are exact in bf16.
+
+    INVARIANT: the output is FINITE everywhere (padding uses the finite
+    NEG = -9e9 sentinel, never inf/NaN).  The sweep kernels' `s * 0.0`
+    carry-derivation trick relies on this — an inf/NaN in s would poison
+    the carries."""
     oh_a = jax.nn.one_hot(a, 37, dtype=jnp.bfloat16)
     oh_b = jax.nn.one_hot(b, 37, dtype=jnp.bfloat16)
     emb = jax.lax.dot_general(

@@ -14,7 +14,8 @@ import sys
 from typing import Iterable, List, Optional, TextIO
 
 from reseek_tpu.align.output import format_row
-from reseek_tpu.align.pipeline import (AlignResult, EncodedChain, PairAligner,
+from reseek_tpu.align.pipeline import (FLT_MAX as _FLT_MAX, AlignResult,
+                                       EncodedChain, PairAligner,
                                        encode_for_search)
 from reseek_tpu.chain import Chain
 from reseek_tpu.constants import DSSParams
@@ -29,16 +30,24 @@ class SearchOptions:
     global_aln: bool = False     # -global (src/runself.cpp:48-56)
     scores_are_not_evalues: bool = False  # disable the E-value gate
                                           # (src/dbsearcher.cpp:260)
+    aln_out: Optional[TextIO] = None      # -aln pretty blocks
+                                          # (src/prettyaln.cpp:27-99)
+    trace_labels: Optional[tuple] = None  # -label1/-label2 per-pair
+                                          # explain (dssaligner.cpp:734-791)
 
 
 class SearchDriver:
     def __init__(self, params: DSSParams, options: SearchOptions,
                  out: TextIO = sys.stdout):
+        import time
         self.params = params
         self.options = options
         self.out = out
         self.aligner = PairAligner(params)
         self.hit_count = 0
+        self.processed_pairs = 0
+        self.query_count = 0
+        self.t0 = time.time()
 
     def _reject(self, res: AlignResult) -> bool:
         if self.options.scores_are_not_evalues:
@@ -54,6 +63,75 @@ class SearchDriver:
         self.hit_count += 1
         self.out.write(format_row(self.options.columns, res, q, t, up))
         self.out.write("\n")
+        if self.options.aln_out is not None:
+            from reseek_tpu.align.prettyaln import pretty_aln
+            pretty_aln(self.options.aln_out, res, q, t, up)
+
+    def run_stats(self, n_threads: int = 1) -> None:
+        """End-of-run stats (DBSearcher::RunStats, src/dbsearcher.cpp:29-56
+        + DSSAligner::Stats, src/dssaligner.cpp:1088-1098)."""
+        import time
+
+        from reseek_tpu.utils.logger import (get_logger, int_to_str,
+                                             secs_to_hhmmss)
+        lg = get_logger()
+        secs = max(time.time() - self.t0, 1.0)
+        pairs_per_sec = self.processed_pairs / secs
+        lg.progress_log("\n")
+        lg.progress_log("%10.10s  Search time\n" % secs_to_hhmmss(secs))
+        if self.options.max_evalue == float("inf"):
+            lg.progress_log("%10.10s  Hits\n" % int_to_str(self.hit_count))
+        else:
+            lg.progress_log("%10.10s  Hits (max E-value %.3g)\n"
+                            % (int_to_str(self.hit_count),
+                               self.options.max_evalue))
+        if self.query_count:
+            lg.progress_log("%10.10s  Query chains\n"
+                            % int_to_str(self.query_count))
+            lg.progress_log("%10.1f  Chains/sec\n"
+                            % (self.query_count / secs))
+        lg.progress_log("%10.10s  Comparisons/sec\n"
+                        % int_to_str(int(pairs_per_sec)))
+        if n_threads > 1:
+            lg.progress_log(
+                "%10.10s  Comparisons/sec/thread (%u threads)\n"
+                % (int_to_str(int(pairs_per_sec / n_threads)), n_threads))
+        a = self.aligner
+        lg.log("DSSAligner::Stats() alns %d, mufil %d/%d %.1f%%\n"
+               % (a.n_aligned, a.n_mu_input, a.n_mu_discarded,
+                  100.0 * a.n_mu_discarded / a.n_mu_input
+                  if a.n_mu_input else 0.0))
+
+    def trace_pair(self, q: EncodedChain, t: EncodedChain) -> None:
+        """-label1/-label2 explain mode (AlignQueryTarget_Trace,
+        src/dssaligner.cpp:734-791): logs the per-pair routing, filter
+        decisions, scores and path prefix for one chain pair."""
+        from reseek_tpu.align.mkf import should_use_mkf
+        from reseek_tpu.utils.logger import get_logger
+        lg = get_logger()
+        lg.log("\n______________________________________\n")
+        lg.log("A>%s(%u)\n" % (q.label, len(q)))
+        lg.log("B>%s(%u)\n" % (t.label, len(t)))
+        p = self.params
+        if should_use_mkf(q, t, p):
+            lg.log("DoMKF()=true\n")
+            res = self.aligner.align(q, t)
+            lg.log("m_BestChainScore=%d\n" % res.best_chain_score)
+            lg.log("AlnFwdScore=%.3g\n" % res.fwd_score)
+        else:
+            if p.omega > 0:
+                lg.log("Omega > 0\n")
+                score = self.aligner.mu_filter_score(q, t)
+                ok = score >= p.omega
+                lg.log("MuFilterScore=%.3g\n" % score)
+                lg.log("MuFilterOk=%c\n" % ("T" if ok else "F"))
+                if not ok:
+                    return
+            res = self.aligner.align(q, t, apply_filter=False)
+            lg.log("AlnFwdScore=%.3g\n" % res.fwd_score)
+        e = res.evalue
+        lg.log("EvalueA=%.3g\n" % e if e > 1e5 else "EvalueA=%.1f\n" % e)
+        lg.log("Path=(%u)%.10s...\n" % (len(res.path), res.path))
 
     def align_and_emit(self, q: EncodedChain, t: EncodedChain,
                       both_orientations: bool = True) -> Optional[AlignResult]:
@@ -88,20 +166,57 @@ def self_search(chains: List[Chain], params: DSSParams,
     if engine == "auto":
         engine = "device" if (_tpu_available() or mesh is not None) \
             else "host"
+    if mesh is not None and (engine != "device" or options.global_aln):
+        import warnings
+        warnings.warn("self_search: mesh is ignored on the host/global "
+                      "path; running single-device", stacklevel=2)
     if options.global_aln:
         return _self_search_global(chains, params, options, out)
     if engine == "device":
         return _self_search_device(chains, params, options, out, mesh=mesh)
-    ecs = [encode_for_search(c, params, with_self_rev=True)
-           for c in chains]
+    ecs = _encode_all(chains, params, with_self_rev=True)
     drv = SearchDriver(params, options, out)
     n = len(ecs)
+    drv.query_count = n
+    _maybe_trace(drv, ecs, options)
     for i in range(n):
         for j in range(i, n):
             if options.no_self and i == j:
                 continue
+            drv.processed_pairs += 1
             drv.align_and_emit(ecs[i], ecs[j], both_orientations=(i != j))
     return drv
+
+
+def _encode_all(chains, params: DSSParams,
+                with_self_rev: bool) -> List[EncodedChain]:
+    """Encode chains for search; pre-encoded EncodedChains (e.g. loaded
+    from an .rsdx artifact, io/artifact.py) pass through with only the
+    missing self-rev scores computed (the artifact's -dbmu-and-more role,
+    src/search.cpp:96-99)."""
+    from reseek_tpu.align.pipeline import FLT_MAX, self_rev_score
+    out = []
+    for c in chains:
+        if isinstance(c, EncodedChain):
+            if with_self_rev and c.self_rev_score == FLT_MAX:
+                c.self_rev_score = self_rev_score(c, params)
+            out.append(c)
+        else:
+            out.append(encode_for_search(c, params,
+                                         with_self_rev=with_self_rev))
+    return out
+
+
+def _maybe_trace(drv: SearchDriver, ecs: List[EncodedChain],
+                 options: SearchOptions) -> None:
+    """-label1/-label2: log the one-pair pipeline trace when both labels
+    are present (src/dssaligner.cpp:793-807)."""
+    if not options.trace_labels:
+        return
+    l1, l2 = options.trace_labels
+    by_label = {ec.label: ec for ec in ecs}
+    if l1 in by_label and l2 in by_label:
+        drv.trace_pair(by_label[l1], by_label[l2])
 
 
 def _self_search_global(chains: List[Chain], params: DSSParams,
@@ -147,36 +262,63 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
     """Batched all-vs-all on the sorted-DB rectangular device pipeline
     (engine.DeviceSelfSearch); long-chain (MKF-routed) pairs run on the
     host path for reference parity."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
+    from reseek_tpu.align.pipeline import self_rev_score
     from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
-    ecs = [encode_for_search(c, params, with_self_rev=False) for c in chains]
-    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=True, mesh=mesh)
-    # self-rev: device for short chains, host MKF quirk path for long ones
-    srs = pipe.self_rev_scores_device()
-    from reseek_tpu.align.pipeline import self_rev_score
-    for ec, s in zip(ecs, srs):
-        ec.self_rev_score = (self_rev_score(ec, params)
-                             if len(ec) >= params.mkfl else float(s))
+    ecs = _encode_all(chains, params, with_self_rev=False)
+    have_selfrev = all(ec.self_rev_score != _FLT_MAX for ec in ecs)
+    pipe = DeviceSelfSearch(ecs, params,
+                            with_rev_profiles=not have_selfrev, mesh=mesh)
 
     drv = SearchDriver(params, options, out)
-    survivors = pipe.stage1_survivors()
-    by_pair = pipe.align_survivors(survivors)
-    # pairs with max length >= mkfl were excluded from the device path;
-    # align them on the host (PairAligner routes MKF vs full SW itself)
     n = len(ecs)
+    drv.query_count = n
+    drv.processed_pairs = n * (n + 1) // 2
+    _maybe_trace(drv, ecs, options)
     lens = np.array([len(ec) for ec in ecs])
-    long_set = np.flatnonzero(lens >= params.mkfl)
+    long_set = [int(j) for j in np.flatnonzero(lens >= params.mkfl)]
+    # pairs with max length >= mkfl are excluded from the device path and
+    # aligned on the host MKF route (PairAligner routes MKF vs full SW
+    # itself); this host work runs in a thread pool CONCURRENTLY with the
+    # device stages (the native MKF kernel releases the GIL)
+    long_pairs = []
     seen = set()
     for j in long_set:
         for i in range(n):
-            a, b = (i, int(j)) if i <= j else (int(j), i)
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            res = drv.aligner.align(ecs[a], ecs[b])
+            a, b = (i, j) if i <= j else (j, i)
+            if (a, b) not in seen:
+                seen.add((a, b))
+                long_pairs.append((a, b))
+    pool = ThreadPoolExecutor(max_workers=min(32, (os.cpu_count() or 4)))
+    try:
+        if not have_selfrev:
+            # self-rev: device for short chains (dispatched async above
+            # via stage2), host MKF quirk path for long ones (threaded)
+            sr_futs = {j: pool.submit(self_rev_score, ecs[j], params)
+                       for j in long_set}
+            srs = pipe.self_rev_scores_device()
+            for ec, s in zip(ecs, srs):
+                if len(ec) < params.mkfl:
+                    ec.self_rev_score = float(s)
+            for j, f in sr_futs.items():
+                ecs[j].self_rev_score = f.result()
+        # all self-rev scores are now known -> long-pair alignments can
+        # finish (TS needs both chains' self-rev); they overlap with the
+        # device stage-1 filter and stage-3 survivor alignment below
+        mkf_futs = [(a, b, pool.submit(drv.aligner.align, ecs[a], ecs[b]))
+                    for a, b in long_pairs]
+        survivors = pipe.stage1_survivors()
+        by_pair = pipe.align_survivors(survivors)
+        for a, b, f in mkf_futs:
+            res = f.result()
             if res is not None and res.path:
                 by_pair[(a, b)] = res
+    finally:
+        pool.shutdown(wait=True)
     # the muscore column is not produced by the bitmask stage-1; backfill
     # it for emitted pairs from the host filter (same saturation rules)
     if "muscore" in options.columns:
@@ -215,31 +357,96 @@ def query_search(queries: Iterable[Chain], db_chains: List[Chain],
     return drv
 
 
-def fast_search(queries: List[Chain], db_chains: List[Chain],
-                params: DSSParams, options: SearchOptions,
-                out: TextIO) -> SearchDriver:
+def fast_search(queries: List[Chain], db, params: DSSParams,
+                options: SearchOptions, out: TextIO,
+                dbmu: Optional[str] = None) -> SearchDriver:
     """Big-DB prefilter pipeline (-fast -db, src/search.cpp:62-112):
-    (1) Mu k-mer two-hit prefilter keeps top-1500 targets per query,
-    (2) survivors are aligned with SENSITIVE parameters
-    (PostMuFilter, src/postmufilter.cpp:211; one output row per hit)."""
+    (1) Mu k-mer two-hit prefilter streams the whole DB and keeps the
+    top-1500 targets per query; (2) only surviving targets are re-read
+    (random access for .bca) and aligned with SENSITIVE parameters
+    (PostMuFilter, src/postmufilter.cpp:116-208; one output row per hit).
+
+    `db` is a path (streamed; memory stays proportional to the query set)
+    or an in-memory chain list.  `dbmu` names a Mu-letter FASTA of the DB
+    so stage 1 skips DB encoding entirely (reference -dbmu,
+    src/search.cpp:96-99)."""
     from reseek_tpu.constants import DSSParams as _P
     from reseek_tpu.encoder.dss import encode_chain
     from reseek_tpu.search.prefilter import prefilter_search
 
-    q_mu = [encode_chain(c).mu_letters for c in queries]
-    pf = prefilter_search(
-        q_mu, ((i, encode_chain(c).mu_letters)
-               for i, c in enumerate(db_chains)))
+    q_mu = [c.mu_letters if isinstance(c, EncodedChain)
+            else encode_chain(c).mu_letters for c in queries]
+
+    db_is_path = isinstance(db, str)
+    n_targets = 0
+
+    def target_mu_stream():
+        nonlocal n_targets
+        if dbmu is not None:
+            from reseek_tpu.io.mufasta import iter_mu_fasta
+            for i, (_label, letters) in enumerate(iter_mu_fasta(dbmu)):
+                n_targets = i + 1
+                yield i, letters
+        elif db_is_path:
+            from reseek_tpu.io.reader import iter_chains
+            i = 0
+            for c in iter_chains(db):
+                if len(c) == 0:
+                    continue
+                n_targets = i + 1
+                yield i, encode_chain(c).mu_letters
+                i += 1
+        else:
+            n_targets = len(db)
+            for i, c in enumerate(db):
+                yield i, (c.mu_letters if isinstance(c, EncodedChain)
+                          else encode_chain(c).mu_letters)
+
+    pf = prefilter_search(q_mu, target_mu_stream())
 
     sens = _P.create("sensitive")
-    q_ecs = [encode_for_search(c, sens) for c in queries]
+    q_ecs = _encode_all(queries, sens, with_self_rev=True)
     drv = SearchDriver(sens, options, out)
+    drv.query_count = len(q_ecs)
     t2q = pf.target_to_queries()
-    for tidx in sorted(t2q):
-        t_ec = encode_for_search(db_chains[tidx], sens)
-        for qi in t2q[tidx]:
-            res = drv.aligner.align(q_ecs[qi], t_ec)
-            if res is None or not res.path:
+
+    if db_is_path and db.lower().endswith(".bca"):
+        # survivors re-read by index, like PostMuFilter's
+        # BCAData::ReadChain (src/postmufilter.cpp:164)
+        from reseek_tpu.io.bca import BCAReader
+        with BCAReader(db) as r:
+            for tidx in sorted(t2q):
+                t_ec = encode_for_search(r.read_chain(tidx), sens)
+                _fast_align_emit(drv, q_ecs, t_ec, t2q[tidx])
+    elif db_is_path:
+        # formats without random access: one more sequential pass over
+        # the file, aligning targets as they stream by
+        from reseek_tpu.io.reader import iter_chains
+        idx = 0
+        for c in iter_chains(db):
+            if len(c) == 0:
                 continue
-            drv.emit(res, q_ecs[qi], t_ec, True)
+            if idx in t2q:
+                t_ec = encode_for_search(c, sens)
+                _fast_align_emit(drv, q_ecs, t_ec, t2q[idx])
+            idx += 1
+    else:
+        for tidx in sorted(t2q):
+            c = db[tidx]
+            t_ec = (c if isinstance(c, EncodedChain)
+                    else encode_for_search(c, sens))
+            if t_ec.self_rev_score == _FLT_MAX:
+                from reseek_tpu.align.pipeline import self_rev_score
+                t_ec.self_rev_score = self_rev_score(t_ec, sens)
+            _fast_align_emit(drv, q_ecs, t_ec, t2q[tidx])
+    drv.processed_pairs = len(q_ecs) * n_targets
     return drv
+
+
+def _fast_align_emit(drv: SearchDriver, q_ecs: List[EncodedChain],
+                     t_ec: EncodedChain, q_indices) -> None:
+    for qi in q_indices:
+        res = drv.aligner.align(q_ecs[qi], t_ec)
+        if res is None or not res.path:
+            continue
+        drv.emit(res, q_ecs[qi], t_ec, True)

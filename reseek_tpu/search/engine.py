@@ -596,7 +596,7 @@ def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
     sm = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P()),
-        out_specs=(P(axis),) * 10)
+        out_specs=(P(axis), P(axis)))
     return jax.jit(sm)
 
 
@@ -674,8 +674,16 @@ def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
         valid = jnp.arange(m_cap)[None, :] < n_m[:, None]
         lddt, risky = lddt_batch(cq, ct, valid, n_m.astype(jnp.int32),
                                  with_risky=True)
-        return (best, lo_a, lo_b, bi, bj, plen.astype(jnp.int32),
-                path_rev, lddt, n_m.astype(jnp.int32), risky)
+        # pack per-pair scalars into ONE f32 array and the path codes into
+        # ONE int8 array: the device->host tunnel costs ~40-100 ms latency
+        # PER FETCH, so two fetches per job instead of ten (all integer
+        # values here are < 2^24, exact in f32; path codes are 0..3)
+        f32 = jnp.float32
+        scal = jnp.stack(
+            [best, lo_a.astype(f32), lo_b.astype(f32),
+             bi.astype(f32), bj.astype(f32), plen.astype(f32),
+             lddt, n_m.astype(f32), risky.astype(f32)], axis=1)
+        return scal, path_rev.astype(jnp.int8)
 
     return run
 
@@ -788,6 +796,7 @@ class DeviceSelfSearch:
         p = self.params
         k = _kernels()
         out = np.full(len(self.ecs), np.nan, np.float32)
+        jobs = []
         for bi in range(self.n_device_buckets):
             if bi not in self.range_of:
                 continue
@@ -797,7 +806,11 @@ class DeviceSelfSearch:
             sc = k["stage2_full"](
                 self.prof, self.prof_rev, idx, idx, self.w, self.offsets,
                 self.pad_code, e, float(p.gap_open), float(p.gap_ext))
-            out[self.order[s0:s1]] = np.asarray(sc)
+            jobs.append((s0, s1, sc))
+        import jax
+        fetched = jax.device_get([sc for _, _, sc in jobs])
+        for (s0, s1, _), sc in zip(jobs, fetched):
+            out[self.order[s0:s1]] = sc
         return out
 
     # -- stage 1: Mu filter bits over all device pairs -------------------
@@ -869,8 +882,10 @@ class DeviceSelfSearch:
                                    jnp.asarray(av), jnp.asarray(bv),
                                    jnp.asarray(a1v), jnp.asarray(b1v))
                             jobs.append((r, grp, ca, cb))
-            for r, grp, ca, cb in jobs:
-                bits = np.asarray(r)  # [rows, ca*cb//8]
+            import jax
+            fetched_bits = jax.device_get([r for r, _, _, _ in jobs])
+            for bits, (_, grp, ca, cb) in zip(fetched_bits, jobs):
+                # bits: [rows, ca*cb//8]
                 flat = np.unpackbits(bits[: len(grp)], axis=-1,
                                      bitorder="little")
                 for s, (ba, bb) in enumerate(grp):
@@ -936,9 +951,18 @@ class DeviceSelfSearch:
                 r = fn(self.prof, self.coords, idx_a, idx_b,
                        self.w, self.offsets)
                 jobs.append((r, rr, chunk[:n]))
-        for r, rr, chunk in jobs:
-            (best, lo_a, lo_b, hi_a, hi_b, plen, path_rev, lddt,
-             n_m, risky) = [np.asarray(x) for x in r]
+        # one batched fetch for every job's packed outputs (per-array
+        # fetches through the tunnel cost ~40-100 ms latency each)
+        import jax
+        fetched = jax.device_get([r for r, _, _ in jobs])
+        for (scal, path_rev_i8), (_, rr, chunk) in zip(fetched, jobs):
+            best, lo_a, lo_b, hi_a, hi_b, plen, lddt, n_m, risky = (
+                scal[:, 0], scal[:, 1].astype(np.int64),
+                scal[:, 2].astype(np.int64), scal[:, 3].astype(np.int64),
+                scal[:, 4].astype(np.int64), scal[:, 5].astype(np.int64),
+                scal[:, 6], scal[:, 7].astype(np.int64),
+                scal[:, 8].astype(bool))
+            path_rev = path_rev_i8
             n = len(rr)
             sa = np.array([self.ecs[i].self_rev_score for i in chunk[:, 0]],
                           np.float32)

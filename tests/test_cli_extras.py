@@ -1,0 +1,157 @@
+"""Tests for the operational surface added in round 3: convert filters,
+pretty -aln blocks, -log run stats, gapless Mu-filter fallback,
+calibration commands."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REF_TEST_DATA
+
+Q10 = os.path.join(REF_TEST_DATA, "q10.bca")
+Q100 = os.path.join(REF_TEST_DATA, "q100.bca")
+
+
+def test_gapless_sw_matches_kadane():
+    from reseek_tpu.ops.sw_np import sw_gapless_score
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        la, lb = rng.integers(2, 40, 2)
+        S = rng.integers(-7, 5, (la, lb)).astype(np.int8)
+        best = 0
+        for d in range(-(la - 1), lb):
+            run = 0
+            for i in range(max(0, -d), min(la, lb - d)):
+                run = max(run, 0) + int(S[i, i + d])
+                best = max(best, run)
+        assert sw_gapless_score(S) == best
+
+
+def test_mu_filter_gapless_fallback():
+    """use_para=False routes the Omega filter through the gapless kernel
+    (src/dssaligner.cpp:1055-1067)."""
+    from reseek_tpu.align.pipeline import PairAligner, encode_for_search
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.bca import read_bca
+    chains = read_bca(Q10)[:3]
+    params = DSSParams.create("sensitive")
+    ecs = [encode_for_search(c, params, with_self_rev=False)
+           for c in chains]
+    pa = PairAligner(params)
+    para = pa.mu_filter_score(ecs[0], ecs[1])
+    params2 = DSSParams.create("sensitive")
+    params2.use_para = False
+    pa2 = PairAligner(params2)
+    gapless = pa2.mu_filter_score(ecs[0], ecs[1])
+    # different kernels, same scale: both are Mu-matrix local scores
+    assert gapless >= 0.0
+    assert para != gapless or para == 0.0
+
+
+def test_convert_filters(tmp_path):
+    from reseek_tpu.cli import main
+    from reseek_tpu.io.bca import read_bca
+    out = tmp_path / "sub.bca"
+    assert main(["convert", Q10, "--bca", str(out), "--subsample", "2"]) == 0
+    orig = read_bca(Q10)
+    sub = read_bca(str(out))
+    assert len(sub) == len(orig) // 2
+    assert sub[0].label == orig[1].label
+
+    out2 = tmp_path / "rev.cal"
+    assert main(["convert", Q10, "--cal", str(out2), "--reverse"]) == 0
+    from reseek_tpu.io.cal import read_cal
+    rev = read_cal(str(out2))
+    assert rev[0].label == orig[0].label
+    assert rev[0].seq == orig[0].seq[::-1]
+
+    labfile = tmp_path / "labels.txt"
+    labfile.write_text(orig[0].label + "\n")
+    out3 = tmp_path / "lab.cal"
+    assert main(["convert", Q10, "--cal", str(out3),
+                 "--labels", str(labfile)]) == 0
+    assert [c.label for c in read_cal(str(out3))] == [orig[0].label]
+
+    out4 = tmp_path / "flip.cal"
+    assert main(["convert", Q10, "--cal", str(out4), "--flip"]) == 0
+    flip = read_cal(str(out4))
+    np.testing.assert_allclose(flip[0].coords, -orig[0].coords, atol=0.11)
+
+
+def test_pretty_aln_blocks():
+    from reseek_tpu.align.pipeline import PairAligner, encode_for_search
+    from reseek_tpu.align.prettyaln import pretty_aln
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.bca import read_bca
+    chains = read_bca(Q10)[:2]
+    params = DSSParams.create("sensitive")
+    params.omega = 0.0
+    params.min_fwd_score = 0.0   # force P-value computation for this pair
+    ecs = [encode_for_search(c, params) for c in chains]
+    res = PairAligner(params).align(ecs[0], ecs[1], apply_filter=False)
+    assert res is not None and res.path
+    buf = io.StringIO()
+    pretty_aln(buf, res, ecs[0], ecs[1], up=True)
+    text = buf.getvalue()
+    assert ecs[0].label in text and ecs[1].label in text
+    assert "AQ " in text and "P-value" in text
+    # block structure: A-row starts with the 1-based lo coordinate
+    first_block = [ln for ln in text.splitlines() if ln.strip()][1]
+    assert first_block.split()[0] == str(res.lo_a + 1)
+    # row content reconstructs the aligned query substring
+    arow = first_block.split()[1]
+    assert arow.replace("-", "") in ecs[0].chain.seq
+
+
+def test_search_log_and_stats(tmp_path):
+    from reseek_tpu.cli import main
+    logf = tmp_path / "run.log"
+    outf = tmp_path / "hits.tsv"
+    assert main(["search", Q10, "--sensitive", "--output", str(outf),
+                 "--log", str(logf)]) == 0
+    text = logf.read_text()
+    assert "Search time" in text
+    assert "Hits" in text
+    assert "Comparisons/sec" in text
+    assert "DSSAligner::Stats()" in text
+    assert outf.read_text().count("\n") > 0
+
+
+def test_search_aln_and_trace(tmp_path):
+    from reseek_tpu.cli import main
+    from reseek_tpu.io.bca import read_bca
+    labels = [c.label for c in read_bca(Q10)[:2]]
+    alnf = tmp_path / "aln.txt"
+    logf = tmp_path / "trace.log"
+    outf = tmp_path / "hits.tsv"
+    assert main(["search", Q10, "--sensitive", "--output", str(outf),
+                 "--aln", str(alnf), "--log", str(logf),
+                 "--label1", labels[0], "--label2", labels[1]]) == 0
+    assert "AQ " in alnf.read_text()
+    trace = logf.read_text()
+    assert f"A>{labels[0]}" in trace
+    # either the pair aligns (score+path logged) or the filter reject is
+    # logged — both are faithful trace outcomes (dssaligner.cpp:760-772)
+    assert "AlnFwdScore=" in trace or "MuFilterOk=F" in trace
+
+
+def test_calibrate_command(tmp_path, capsys):
+    from reseek_tpu.cli import main
+    out = tmp_path / "hist.tsv"
+    assert main(["calibrate", Q100, "--fast", "--engine", "host",
+                 "--output", str(out)]) == 0
+    text = capsys.readouterr().out
+    assert "loglinear:" in text and "shipped:" in text
+    lines = out.read_text().splitlines()
+    x0, dx = (float(v) for v in lines[0].split("\t"))
+    assert dx > 0
+    # the histogram file round-trips through fit-gumbel
+    histf = tmp_path / "hist_only.tsv"
+    histf.write_text("\n".join(
+        [lines[0]] + [ln for ln in lines[1:] if not ln.startswith("#")])
+        + "\n")
+    assert main(["fit-gumbel", str(histf)]) == 0
+    assert "mu=" in capsys.readouterr().out
