@@ -32,20 +32,19 @@ def _evalue_str(e: float) -> str:
 
 
 def _pct_id(res: AlignResult, q: EncodedChain, t: EncodedChain) -> float:
-    a, b = res.lo_a, res.lo_b
-    n = m = 0
-    for c in res.path:
-        if c == "M":
-            if q.chain.seq[a] == t.chain.seq[b]:
-                m += 1
-            n += 1
-            a += 1
-            b += 1
-        elif c == "D":
-            a += 1
-        else:
-            b += 1
-    return 0.0 if n == 0 else (m * 100.0) / n
+    """Identity % over M columns, vectorized (called per emitted row)."""
+    codes = np.frombuffer(res.path.encode("ascii"), np.uint8)
+    adv_a = codes != ord("I")
+    adv_b = codes != ord("D")
+    pos_a = res.lo_a + np.cumsum(adv_a) - adv_a
+    pos_b = res.lo_b + np.cumsum(adv_b) - adv_b
+    is_m = codes == ord("M")
+    if not is_m.any():
+        return 0.0
+    sa = np.frombuffer(q.chain.seq.encode("ascii"), np.uint8)
+    sb = np.frombuffer(t.chain.seq.encode("ascii"), np.uint8)
+    m = int((sa[pos_a[is_m]] == sb[pos_b[is_m]]).sum())
+    return (m * 100.0) / int(is_m.sum())
 
 
 def _row_strings(res: AlignResult, q: EncodedChain, t: EncodedChain,
@@ -130,8 +129,14 @@ def format_row(columns: List[str], res: AlignResult, q: EncodedChain,
             out.append("%.3g" % np.float32(res.pvalue))
         elif col == "evalue":
             out.append(_evalue_str(float(np.float32(res.evalue))))
-        elif col in ("ts", "newts"):
+        elif col == "newts":
             out.append("%.3g" % np.float32(res.ts))
+        elif col == "ts":
+            # the reference's `ts` is the OLD test statistic, which the
+            # normal pipeline never sets (-FLT_MAX after ClearAlign,
+            # src/dssaligner.cpp:907-928 + userfields.cpp:66); `newts`
+            # carries the fitted TS
+            out.append("%.3g" % np.float32(res.old_ts))
         elif col in ("dpscore", "raw"):
             fmt = "%.4g" if col == "dpscore" else "%.3g"
             out.append(fmt % np.float32(res.fwd_score))

@@ -110,7 +110,10 @@ class AlignResult:
     ids: int = 0
     gaps: int = 0
     lddt: float = 0.0
-    ts: float = -FLT_MAX
+    ts: float = -FLT_MAX           # NewTestStatistic (newts column)
+    old_ts: float = -FLT_MAX       # old TestStatistic: never set by the
+                                   # standard pipeline (ts column,
+                                   # src/dssaligner.cpp:907-928)
     pvalue: float = FLT_MAX
     evalue: float = FLT_MAX
     qual: float = 0.0

@@ -1,0 +1,200 @@
+"""MSA structure-quality scorers: DALI score/Z and column-map LDDT.
+
+Counterparts of the reference's MSA scoring suite:
+  DALI score     src/dali.cpp:93-139 (DaliLite dpscorefun, lookup-table
+                 envelope weight, theta diagonal term)
+  DALI Z         src/daliscorer.cpp:19-29 (fitted mean/sigma vs sqrt(L1*L2))
+  MSA LDDT       src/lddt_muscle.cpp:36-103 (GetLDDTChainPair_muscle:
+                 R0 gate on d1 only, thresholds {0.5, 1, 2, 4})
+  core columns   src/daliscorer.cpp:112-132 (<=10%+1 gaps, no lowercase)
+All scorers are vectorized numpy over aligned-column index arrays
+(position -1 = gapped/excluded, the reference's UINT_MAX).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from reseek_tpu.chain import Chain
+
+DALI_D = 20.0
+DALI_D0 = 0.2
+DALI_THETA = 0.2
+LDDT_R0 = 15.0
+LDDT_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+
+# integer-binned envelope weights exp(-(i/D)^2), i = 0..99
+# (src/dali.cpp:23-55: Weight() rounds y to the nearest int and clamps)
+_WEIGHT_TABLE = np.exp(-(np.arange(100, dtype=np.float64) / DALI_D) ** 2)
+
+
+def dali_pair_score(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """DALI_dpscorefun over distance arrays (src/dali.cpp:93-110)."""
+    diff = np.abs(d1 - d2)
+    mean = (d1 + d2) / 2
+    iy = np.clip((mean + 0.5).astype(np.int64), 0, 99)
+    w = _WEIGHT_TABLE[iy]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(mean > 0, diff / np.where(mean > 0, mean, 1.0), 0.0)
+    score = np.where(mean > 100, 0.0,
+                     np.where(mean > 0, w * (DALI_D0 - ratio),
+                              w * DALI_D0))
+    return score
+
+
+def dali_score(q: Chain, t: Chain, pos_q: np.ndarray,
+               pos_t: np.ndarray) -> float:
+    """GetDALIScore (src/dali.cpp:141-148): off-diagonal elastic sum +
+    Lali * theta."""
+    lali = len(pos_q)
+    if lali == 0:
+        return 0.0
+    dq = q.dist_matrix()[np.ix_(pos_q, pos_q)].astype(np.float64)
+    dt = t.dist_matrix()[np.ix_(pos_t, pos_t)].astype(np.float64)
+    s = dali_pair_score(dq, dt)
+    np.fill_diagonal(s, 0.0)
+    return float(s.sum()) + lali * DALI_THETA
+
+
+def dali_z(score: float, l1: int, l2: int) -> float:
+    """GetDALIZFromScoreAndLengths (src/daliscorer.cpp:19-29)."""
+    n12 = np.sqrt(float(l1) * float(l2))
+    x = min(n12, 400.0)
+    mean = 7.9494 + 0.70852 * x + 2.5895e-4 * x * x - 1.9156e-6 * x ** 3
+    if n12 > 400:
+        mean += n12 - 400.0
+    sigma = 0.5 * mean
+    return (score - mean) / max(1.0, sigma)
+
+
+def lddt_msa_pair(q: Chain, t: Chain, col_to_pos_q: np.ndarray,
+                  col_to_pos_t: np.ndarray) -> float:
+    """GetLDDTChainPair_muscle (src/lddt_muscle.cpp:36-103): per aligned
+    column i, fraction of distance pairs (d1 <= R0, j != i) preserved
+    within the thresholds; average over considered columns.  Position -1
+    = excluded column."""
+    both = (col_to_pos_q >= 0) & (col_to_pos_t >= 0)
+    pq = col_to_pos_q[both]
+    pt = col_to_pos_t[both]
+    n = len(pq)
+    if n == 0:
+        return 0.0
+    d1 = q.dist_matrix()[np.ix_(pq, pq)].astype(np.float64)
+    d2 = t.dist_matrix()[np.ix_(pt, pt)].astype(np.float64)
+    offdiag = ~np.eye(n, dtype=bool)
+    in_r0 = (d1 <= LDDT_R0) & offdiag
+    diff = np.abs(d1 - d2)
+    preserved = np.zeros_like(d1, dtype=np.int64)
+    for thr in LDDT_THRESHOLDS:
+        preserved += (diff <= thr)
+    nr_considered = in_r0.sum(axis=1) * len(LDDT_THRESHOLDS)
+    nr_preserved = np.where(in_r0, preserved, 0).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scores = np.where(nr_considered > 0,
+                          nr_preserved / np.maximum(nr_considered, 1), 0.0)
+    return float(scores.mean())
+
+
+# ---------------------------------------------------------------------------
+# MSA handling (DALIScorer::SetMSA / GetColToPos / SetCore)
+
+def read_msa_fasta(path: str) -> List[Tuple[str, str]]:
+    out, label, parts = [], None, []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if label is not None:
+                    out.append((label, "".join(parts)))
+                label = line[1:].split()[0]
+                parts = []
+            else:
+                parts.append(line)
+    if label is not None:
+        out.append((label, "".join(parts)))
+    return out
+
+
+def _is_gap(c: np.ndarray) -> np.ndarray:
+    return (c == ord("-")) | (c == ord("."))
+
+
+def core_columns(rows: Sequence[str]) -> np.ndarray:
+    """SetCore (src/daliscorer.cpp:112-132): <= nseqs/10 + 1 gaps and no
+    lowercase letters."""
+    mat = np.array([np.frombuffer(r.encode("ascii"), np.uint8)
+                    for r in rows])
+    gaps = _is_gap(mat).sum(axis=0)
+    lower = ((mat >= ord("a")) & (mat <= ord("z"))).sum(axis=0)
+    max_gaps = len(rows) // 10 + 1
+    return (gaps <= max_gaps) & (lower == 0)
+
+
+def col_to_pos(row: str, core: Optional[np.ndarray] = None) -> np.ndarray:
+    """GetColToPos (src/daliscorer.cpp:309-330): -1 for gap, lowercase,
+    or non-core column; else the ungapped position."""
+    c = np.frombuffer(row.encode("ascii"), np.uint8)
+    gap = _is_gap(c)
+    lower = (c >= ord("a")) & (c <= ord("z"))
+    pos = np.cumsum(~gap) - 1
+    out = np.where(gap | lower, -1, pos)
+    if core is not None:
+        out = np.where(core, out, -1)
+    return out.astype(np.int64)
+
+
+def _match_chains(msa: Sequence[Tuple[str, str]],
+                  chains: Sequence[Chain]) -> Dict[int, Chain]:
+    """Label match with the reference's fallback to sequence identity
+    (SetSeqIdxToChainIdx matches the ungapped row to the chain seq)."""
+    by_label = {c.label: c for c in chains}
+    by_seq: Dict[str, Chain] = {}
+    for c in chains:
+        by_seq.setdefault(c.seq.upper(), c)
+    out: Dict[int, Chain] = {}
+    for i, (label, row) in enumerate(msa):
+        c = by_label.get(label)
+        if c is None:
+            ungapped = "".join(ch for ch in row
+                               if ch not in "-.").upper()
+            c = by_seq.get(ungapped)
+        if c is not None:
+            out[i] = c
+    return out
+
+
+def score_msa(msa_path: str, chains: Sequence[Chain], metric: str = "lddt",
+              core: bool = False):
+    """All-pairs MSA scoring (cmd_lddt_msa src/lddt_msa.cpp:10-62 /
+    cmd_daliscore_msa).  Returns (rows, mean) where rows =
+    (label1, label2, value|None)."""
+    msa = read_msa_fasta(msa_path)
+    rows = [r for _, r in msa]
+    core_mask = core_columns(rows) if core else None
+    matched = _match_chains(msa, chains)
+    maps = [col_to_pos(r, core_mask) for r in rows]
+    out = []
+    total, count = 0.0, 0
+    for i in range(len(msa)):
+        for j in range(i + 1, len(msa)):
+            li, lj = msa[i][0], msa[j][0]
+            if i not in matched or j not in matched:
+                out.append((li, lj, None))
+                continue
+            ci, cj = matched[i], matched[j]
+            if metric == "lddt":
+                v = lddt_msa_pair(ci, cj, maps[i], maps[j])
+                out.append((li, lj, v))
+                total += v
+            else:
+                both = (maps[i] >= 0) & (maps[j] >= 0)
+                s = dali_score(ci, cj, maps[i][both], maps[j][both])
+                z = dali_z(s, len(ci), len(cj))
+                out.append((li, lj, (s, z)))
+                total += z
+            count += 1
+    return out, (total / count if count else 0.0)

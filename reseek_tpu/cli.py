@@ -337,6 +337,62 @@ def cmd_scop40bench(args) -> int:
     return 0
 
 
+def cmd_msa_score(args) -> int:
+    """-lddt_msa / -daliscore_msa (src/lddt_msa.cpp:10-62,
+    src/daliscore_msa.cpp): score every chain pair of an MSA against the
+    structures; prints per-pair values and the mean."""
+    from reseek_tpu.benchmarks.msa import score_msa
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    rows, mean = score_msa(args.msa, chains, metric=args.metric,
+                           core=args.core)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        sum_score = 0.0
+        for l1, l2, v in rows:
+            if v is None:
+                out.write(f"{l1}\t{l2}\tERROR_structure_not_found\n")
+            elif args.metric == "lddt":
+                out.write("%s\t%s\t%.4f\n" % (l1, l2, v))
+            else:
+                s, z = v
+                sum_score += s
+                out.write("%s\t%s\t%.3g\t%.1f\n" % (l1, l2, s, z))
+        n = sum(v is not None for _, _, v in rows)
+        if args.metric == "lddt":
+            out.write("LDDT=%.4f\tMSA=%s\n" % (mean, args.msa))
+        else:
+            out.write("Z=%.1f\tScore=%.1f\tMSA=%s\n"
+                      % (mean, sum_score / max(n, 1), args.msa))
+    finally:
+        if args.output:
+            out.close()
+    print("%s mean %.4f over %d pairs"
+          % (args.metric, mean, sum(v is not None for _, _, v in rows)),
+          file=sys.stderr)
+    return 0
+
+
+def cmd_train_features(args) -> int:
+    """-train_features (src/train_features.cpp): count aligned
+    feature-pair frequencies from trusted alignments, emit log-odds
+    matrices in the WriteLOInt8 layout."""
+    from reseek_tpu.benchmarks.train import train_features, write_trained
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+
+    feats = (args.features.split(",") if args.features
+             else list(DSSParams.create("sensitive").features))
+    chains = read_chains(args.input)
+    los = train_features(chains, args.alns, feats)
+    with open(args.output, "w") as f:
+        write_trained(f, los)
+    print(f"{len(feats)} features trained on {len(chains)} chains",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_fit_gumbel(args) -> int:
     """Fit Scale*Gumbel(mu, beta) to a histogram file; input format of
     cmd_fit_gumbel (src/gumbel.cpp:253-283): first line `x0<TAB>dx`, then
@@ -371,7 +427,7 @@ def cmd_calibrate(args) -> int:
     mode = _mode_from_args(args, default="fast")
     params = DSSParams.create(mode)
     chains = [c for c in read_chains(args.input) if len(c) >= 1]
-    options = SearchOptions(columns=parse_columns("query+target+ts"),
+    options = SearchOptions(columns=parse_columns("query+target+newts"),
                             max_evalue=float("inf"), mode=mode,
                             scores_are_not_evalues=True)
     buf = _io.StringIO()
@@ -528,6 +584,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "device", "host"])
     p.set_defaults(func=cmd_scop40bench)
+
+    for name, metric in (("lddt-msa", "lddt"), ("daliscore-msa", "dali")):
+        p = sub.add_parser(name,
+                           help=f"score an MSA's chain pairs ({metric})")
+        p.add_argument("msa", help="MSA FASTA (gapped rows)")
+        p.add_argument("--input", required=True,
+                       help="structures for the MSA's chains")
+        p.add_argument("--output")
+        p.add_argument("--core", action="store_true",
+                       help="score core columns only (<=10%%+1 gaps, "
+                            "no lowercase)")
+        p.set_defaults(func=cmd_msa_score, metric=metric)
+
+    p = sub.add_parser("train-features",
+                       help="train per-feature log-odds matrices from "
+                            "trusted alignments")
+    p.add_argument("input", help="structure file with the training chains")
+    p.add_argument("--alns", required=True,
+                   help="FASTA of gapped row pairs (2 records = 1 "
+                        "trusted alignment)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--features",
+                   help="comma list (default: the search feature set)")
+    p.set_defaults(func=cmd_train_features)
 
     p = sub.add_parser("fit-gumbel",
                        help="fit a Gumbel curve to a histogram file")

@@ -341,19 +341,118 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
 
 def query_search(queries: Iterable[Chain], db_chains: List[Chain],
                  params: DSSParams, options: SearchOptions,
-                 out: TextIO) -> SearchDriver:
+                 out: TextIO, engine: str = "auto") -> SearchDriver:
     """Query-vs-DB in-memory scan (src/runquery.cpp, note the role
     inversion: each streamed chain becomes the 'A' side, the loaded set is
-    scanned as targets, output orientation flipped back)."""
-    db_ecs = [encode_for_search(c, params) for c in db_chains]
+    scanned as targets, output orientation flipped back).
+
+    engine="device" batches the whole rectangle through the TPU engine
+    (Mu filter + SW + LDDT staged like the self search); long (MKF-routed)
+    pairs run on the host thread pool concurrently."""
+    if engine == "auto":
+        engine = "device" if _tpu_available() else "host"
+    if engine == "device":
+        return _query_search_device(list(queries), db_chains, params,
+                                    options, out)
+    # role inversion (src/search.cpp:39-60 + src/runquery.cpp:31-79): the
+    # QUERY file is loaded in memory, the -db file is streamed as the
+    # DSSAligner 'A' side, and output orientation is flipped back
+    q_ecs = _encode_all(list(queries), params, with_self_rev=True)
     drv = SearchDriver(params, options, out)
-    for qc in queries:
-        q = encode_for_search(qc, params)
-        for t in db_ecs:
-            res = drv.aligner.align(q, t)
+    drv.query_count = len(q_ecs)
+    from reseek_tpu.align.pipeline import self_rev_score
+    for tc in db_chains:
+        t = (tc if isinstance(tc, EncodedChain)
+             else encode_for_search(tc, params))
+        if t.self_rev_score == _FLT_MAX:
+            t.self_rev_score = self_rev_score(t, params)
+        for q in q_ecs:
+            drv.processed_pairs += 1
+            res = drv.aligner.align(t, q)
             if res is None or not res.path:
                 continue
-            drv.emit(res, q, t, True)
+            drv.emit(res, t, q, False)
+    return drv
+
+
+def _query_search_device(queries: List[Chain], db_chains: List[Chain],
+                         params: DSSParams, options: SearchOptions,
+                         out: TextIO) -> SearchDriver:
+    """Query-vs-DB on the batched device engine: one DeviceDB over
+    queries + targets, rectangular pair set staged through the Mu filter,
+    SW and fused traceback+LDDT kernels; long pairs on the host MKF
+    thread pool, overlapped with device compute."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    from reseek_tpu.align.pipeline import self_rev_score
+    from reseek_tpu.search.engine import (BatchedEngine, DeviceDB,
+                                          configure_jax)
+    configure_jax()
+    q_ecs = _encode_all(queries, params, with_self_rev=False)
+    t_ecs = _encode_all(db_chains, params, with_self_rev=False)
+    ecs = q_ecs + t_ecs
+    nq, nt = len(q_ecs), len(t_ecs)
+    need_selfrev = [ec for ec in ecs if ec.self_rev_score == _FLT_MAX]
+    db = DeviceDB(ecs, params, with_rev_profiles=bool(need_selfrev))
+    eng = BatchedEngine(db)
+
+    drv = SearchDriver(params, options, out)
+    drv.query_count = nt
+    drv.processed_pairs = nq * nt
+    _maybe_trace(drv, ecs, options)
+
+    lens = np.array([len(ec) for ec in ecs])
+    pool = ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 4)))
+    try:
+        if need_selfrev:
+            long_idx = [i for i, ec in enumerate(ecs)
+                        if len(ec) >= params.mkfl
+                        and ec.self_rev_score == _FLT_MAX]
+            sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
+                       for i in long_idx}
+            srs = eng.self_rev_scores()
+            for i, ec in enumerate(ecs):
+                if len(ec) < params.mkfl and ec.self_rev_score == _FLT_MAX:
+                    ec.self_rev_score = float(srs[i])
+            for i, f in sr_futs.items():
+                ecs[i].self_rev_score = f.result()
+
+        # pair rectangle with the role inversion of src/runquery.cpp:
+        # A side = db chain (index nq+ti in the combined list), B = query
+        qi, ti = np.meshgrid(np.arange(nq), np.arange(nt), indexing="ij")
+        pairs = np.stack([nq + ti.ravel(), qi.ravel()], axis=1)
+        is_long = (lens[pairs[:, 0]] >= params.mkfl) \
+            | (lens[pairs[:, 1]] >= params.mkfl)
+        long_pairs = pairs[is_long]
+        mkf_futs = [(int(a) - nq, int(b),
+                     pool.submit(drv.aligner.align, ecs[a], ecs[b]))
+                    for a, b in long_pairs]
+        pairs = pairs[~is_long]
+
+        if params.omega > 0 and len(pairs):
+            mu = eng.mu_filter_scores(pairs)
+            pairs = pairs[mu >= params.omega]
+        results = eng.full_alignments(pairs) if len(pairs) else []
+        by_pair = {}
+        for pr, r in zip(pairs, results):
+            if r is not None and r.path:
+                by_pair[(int(pr[0]) - nq, int(pr[1]))] = r
+        for t_i, q_i, f in mkf_futs:
+            res = f.result()
+            if res is not None and res.path:
+                by_pair[(t_i, q_i)] = res
+    finally:
+        pool.shutdown(wait=True)
+    # reference single-thread row order: per db chain in file order, each
+    # vs the loaded query set, orientation flipped back
+    # (src/runquery.cpp:31-79)
+    for t_i in range(nt):
+        for q_i in range(nq):
+            res = by_pair.get((t_i, q_i))
+            if res is not None:
+                drv.emit(res, ecs[nq + t_i], ecs[q_i], False)
     return drv
 
 

@@ -324,6 +324,7 @@ class BatchedEngine:
 
     def full_alignments(self, pairs: np.ndarray) -> List[AlignResult]:
         """Stage 3+4: paths on device, LDDT on device, TS/P/E on host."""
+        import jax
         import jax.numpy as jnp
         from reseek_tpu.ops.postalign_jax import PD, PI, PM
         p = self.params
@@ -337,16 +338,14 @@ class BatchedEngine:
                 float(p.gap_open), float(p.gap_ext))
             per_batch.append((bucket, chunk, n, rows, best, lo_a, lo_b,
                               plen, path_rev))
+        # batch all device fetches into one device_get (tunnel latency)
+        fetched = jax.device_get([b[4:] for b in per_batch])
 
         code_char = {PM: "M", PD: "D", PI: "I"}
         lddt_jobs = []
-        for (bucket, chunk, n, rows, best, lo_a, lo_b, plen,
-             path_rev) in per_batch:
-            best = np.asarray(best)
-            lo_a = np.asarray(lo_a)
-            lo_b = np.asarray(lo_b)
-            plen = np.asarray(plen)
-            path_rev = np.asarray(path_rev)
+        for (bucket, chunk, n, rows, *_), \
+                (best, lo_a, lo_b, plen, path_rev) in zip(per_batch,
+                                                          fetched):
             batch_results = []
             m_bucket = bucket  # max aligned columns
             cq = np.zeros((len(chunk), m_bucket, 3), np.float32)
@@ -382,8 +381,9 @@ class BatchedEngine:
                 jnp.asarray(ncols))
             lddt_jobs.append((batch_results, chunk, n, rows, lddt_dev))
 
-        for batch_results, chunk, n, rows, lddt_dev in lddt_jobs:
-            lddt = np.asarray(lddt_dev)
+        lddt_fetched = jax.device_get([j[4] for j in lddt_jobs])
+        for (batch_results, chunk, n, rows, _), lddt in zip(lddt_jobs,
+                                                            lddt_fetched):
             for kk in range(n):
                 res = batch_results[kk]
                 qi, ti = int(chunk[kk, 0]), int(chunk[kk, 1])

@@ -126,3 +126,24 @@ def test_mu_fasta_reader_kl_swap(tmp_path):
     assert label == "a"
     # 'K' -> 11, 'L' -> 10 (reference g_CharToLetterMu quirk)
     assert letters.tolist() == [0, 1, 11, 10, 35, 35]
+
+
+def test_query_search_device_matches_host():
+    """Query-vs-DB through the batched device engine produces the same
+    rows as the host per-pair path (src/runquery.cpp semantics)."""
+    import io as _io
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.search.driver import SearchOptions, query_search
+    queries = read_bca(Q10)[:3]
+    db = read_bca(Q100)[:40]
+    params = DSSParams.create("sensitive")
+    opts = SearchOptions(
+        columns=parse_columns("query+target+qlo+qhi+evalue+cigar"),
+        max_evalue=10.0, mode="sensitive")
+    b1, b2 = io.StringIO(), io.StringIO()
+    query_search(queries, db, params, opts, b1, engine="host")
+    query_search(queries, db, params, opts, b2, engine="device")
+    assert b1.getvalue() == b2.getvalue()
+    assert b1.getvalue().count("\n") > 0

@@ -155,3 +155,41 @@ def test_calibrate_command(tmp_path, capsys):
         + "\n")
     assert main(["fit-gumbel", str(histf)]) == 0
     assert "mu=" in capsys.readouterr().out
+
+
+def test_train_features(tmp_path):
+    """Training on alignments produced by our own search yields sane
+    log-odds (positive diagonal mass, positive expected score), and the
+    LogOdds math matches hand computation."""
+    import numpy as np
+    from reseek_tpu.benchmarks.train import LogOdds, train_features
+    from reseek_tpu.cli import main
+
+    lo = LogOdds(3)
+    lo.add_background(np.array([0, 0, 1, 2, 2, 2], np.uint8))
+    lo.add_true_pairs(np.array([0, 2]), np.array([0, 2]))
+    mx, expected = lo.log_odds_mx()
+    # P(0)=2/6, obs(0,0)=2/4 -> ln(0.5/(1/9)) = ln(4.5)
+    assert mx[0, 0] == pytest.approx(np.log(4.5))
+    assert expected > 0
+
+    # end-to-end: search q10, emit aligned rows, train
+    outrows = tmp_path / "rows.tsv"
+    assert main(["search", Q10, "--sensitive", "--output", str(outrows),
+                 "--columns", "query+target+qrow+trow", "--noself"]) == 0
+    alns = tmp_path / "alns.fa"
+    with open(alns, "w") as f:
+        for line in open(outrows):
+            q, t, qrow, trow = line.rstrip("\n").split("\t")
+            f.write(f">{q}\n{qrow}\n>{t}\n{trow}\n")
+    outtsv = tmp_path / "trained.tsv"
+    assert main(["train-features", Q10, "--alns", str(alns),
+                 "--output", str(outtsv), "--features", "Conf,NENDist"]) == 0
+    text = outtsv.read_text()
+    assert text.count("FEATURE") == 2
+    # self-similar structures: diagonal of the trained matrix is positive
+    first = text.splitlines()
+    as_conf = int(first[0].split("\t")[2])
+    mx = np.array([[int(v) for v in first[1 + i].split("\t")]
+                   for i in range(as_conf)])
+    assert np.diag(mx).sum() > 0
