@@ -119,7 +119,14 @@ def cmd_search(args) -> int:
                                           self_search)
 
     mode = _mode_from_args(args)
-    params = DSSParams.create(mode)
+    if args.params:
+        params = DSSParams.from_tsv(args.params)
+        params.mode = mode
+    elif args.paramstr:
+        params = DSSParams.from_param_str(args.paramstr)
+        params.mode = mode
+    else:
+        params = DSSParams.create(mode)
     if args.omega is not None:
         params.omega = args.omega
     if args.minfwdscore is not None:
@@ -337,6 +344,164 @@ def cmd_scop40bench(args) -> int:
     return 0
 
 
+def cmd_distmx(args) -> int:
+    """-distmx (src/distmx.cpp:26-64): all-vs-all self search writing
+    `idxA<TAB>idxB<TAB>newts` rows for pairs with E <= max (Up rows only),
+    then `maxts`."""
+    import io as _io
+
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import SearchOptions, self_search
+
+    mode = _mode_from_args(args, default="fast")
+    params = DSSParams.create(mode)
+    chains = read_chains(args.input)
+    idx = {c.label: i for i, c in enumerate(chains)}
+    opts = SearchOptions(columns=parse_columns("query+target+newts+evalue"),
+                         max_evalue=args.evalue
+                         if args.evalue is not None else 10.0, mode=mode)
+    buf = _io.StringIO()
+    self_search(chains, params, opts, buf, engine=args.engine)
+    max_ts = float("-inf")
+    with open(args.output, "w") as f:
+        seen = set()
+        for line in buf.getvalue().splitlines():
+            q, t, ts, _e = line.split("\t")
+            key = (idx[q], idx[t])
+            if key in seen:   # Up row only (src/distmx.cpp:28-29)
+                continue
+            seen.add(key)
+            seen.add((key[1], key[0]))
+            ts_f = float(ts)
+            max_ts = max(max_ts, ts_f)
+            f.write("%u\t%u\t%.3f\n" % (idx[q], idx[t], ts_f))
+    print("maxts %.3f" % max_ts, file=sys.stderr)
+    return 0
+
+
+def cmd_shuffle(args) -> int:
+    """-shuffle (src/shuffle.cpp:5-26): random chain order -> .bca."""
+    import random
+
+    from reseek_tpu.io.bca import BCAWriter
+    from reseek_tpu.io.reader import read_chains
+    chains = read_chains(args.input)
+    order = list(range(len(chains)))
+    rng = random.Random(args.seed)
+    rng.shuffle(order)
+    with BCAWriter(args.bca) as w:
+        for i in order:
+            w.write_chain(chains[i])
+    print(f"{len(chains)} chains shuffled", file=sys.stderr)
+    return 0
+
+
+def cmd_split(args) -> int:
+    """-split (src/split.cpp:107-130): divide a DB into N .bca splits of
+    ceil(count/N) chains each, filenames <prefix><k>.bca."""
+    from reseek_tpu.io.bca import BCAWriter
+    from reseek_tpu.io.reader import read_chains
+    chains = [c for c in read_chains(args.input)
+              if len(c) >= max(args.minchainlength, 1)]
+    per = -(-len(chains) // args.n)
+    print(f"{per} chains/split", file=sys.stderr)
+    for k in range(args.n):
+        part = chains[k * per: (k + 1) * per]
+        if not part:
+            break
+        with BCAWriter(f"{args.prefix}{k + 1}.bca") as w:
+            for c in part:
+                w.write_chain(c)
+    return 0
+
+
+def cmd_convert2mu(args) -> int:
+    """-convert2mu (src/convert2mu.cpp:7-60): structures -> Mu-letter
+    FASTA (streamed)."""
+    from reseek_tpu.encoder.dss import encode_chain, feature_string
+    from reseek_tpu.io.reader import iter_chains
+    n = 0
+    with open(args.output, "w") as f:
+        for c in iter_chains(args.input):
+            if len(c) < max(args.minchainlength, 1):
+                continue
+            f.write(f">{c.label}\n{feature_string(encode_chain(c), 'Mu')}\n")
+            n += 1
+    print(f"{n} chains converted", file=sys.stderr)
+    return 0
+
+
+def cmd_gunzip(args) -> int:
+    """-gunzip (src/gzipfileio.cpp:90-111)."""
+    import gzip
+    import shutil
+    with gzip.open(args.input, "rb") as fin, \
+            open(args.output, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    return 0
+
+
+def cmd_cif2pdb(args) -> int:
+    """-cif2pdb (src/cif2pdb.cpp:238): mmCIF -> PDB."""
+    from reseek_tpu.io.cif import read_cif
+    from reseek_tpu.io.pdb import write_pdb
+    chains = list(read_cif(args.input))
+    with open(args.output, "w") as f:
+        for c in chains:
+            write_pdb(c, f)
+    print(f"{len(chains)} chains written", file=sys.stderr)
+    return 0
+
+
+def cmd_prepare_query(args) -> int:
+    """-prepare_query (src/prepare_query.cpp:48-130): keep up to N
+    query chains that are >= minchainlength and < 90% identical to an
+    earlier kept chain; status TSV + .bca output.  (Identity here uses a
+    global sequence alignment ratio rather than the reference's
+    BLOSUM Viterbi — selection differs only for borderline ~90% pairs.)"""
+    import difflib
+
+    from reseek_tpu.io.bca import BCAWriter
+    from reseek_tpu.io.reader import read_chains
+    chains = read_chains(args.input)
+    min_len = max(args.minchainlength, 1)
+    max_chains = args.n
+    kept = []
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for i, c in enumerate(chains):
+            out.write(f"{i}\t{c.label}\t{len(c)}")
+            if len(c) < min_len:
+                out.write("\tshort\n")
+                continue
+            if len(kept) >= max_chains:
+                out.write("\ttoomany\n")
+                continue
+            dup = None
+            for k in kept:
+                pct = 100.0 * difflib.SequenceMatcher(
+                    None, c.seq, k.seq).ratio()
+                if pct >= 90.0:
+                    dup = k.label
+                    break
+            if dup is not None:
+                out.write(f"\tdupe({dup})\n")
+                continue
+            kept.append(c)
+            out.write("\tquery\n")
+    finally:
+        if args.output:
+            out.close()
+    if args.bca:
+        with BCAWriter(args.bca) as w:
+            for c in kept:
+                w.write_chain(c)
+    print(f"{len(kept)} queries kept", file=sys.stderr)
+    return 0
+
+
 def cmd_msa_score(args) -> int:
     """-lddt_msa / -daliscore_msa (src/lddt_msa.cpp:10-62,
     src/daliscore_msa.cpp): score every chain pair of an MSA against the
@@ -543,6 +708,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=0,
                    help="host worker threads (0 = all cores)")
     p.add_argument("--log", help="write a log file (reference -log)")
+    p.add_argument("--params", help="name<TAB>value parameter file "
+                                    "(reference -params / FromTsv)")
+    p.add_argument("--paramstr", help="AA:0.4_Conf:0.2_... parameter "
+                                      "string (FromParamStr)")
     p.add_argument("--aln", help="write pretty alignment blocks "
                                  "(reference -aln)")
     p.add_argument("--label1", help="with --label2: log a full pipeline "
@@ -584,6 +753,53 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "device", "host"])
     p.set_defaults(func=cmd_scop40bench)
+
+    p = sub.add_parser("distmx", help="TS distance matrix (idx pairs)")
+    p.add_argument("input")
+    _add_mode_args(p)
+    p.add_argument("--output", required=True)
+    p.add_argument("--evalue", type=float)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"])
+    p.set_defaults(func=cmd_distmx)
+
+    p = sub.add_parser("shuffle", help="random chain order -> .bca")
+    p.add_argument("input")
+    p.add_argument("--bca", required=True)
+    p.add_argument("--seed", type=int, default=1)
+    p.set_defaults(func=cmd_shuffle)
+
+    p = sub.add_parser("split", help="divide a DB into N .bca splits")
+    p.add_argument("input")
+    p.add_argument("-n", type=int, required=True)
+    p.add_argument("--prefix", default="split")
+    p.add_argument("--minchainlength", type=int, default=1)
+    p.set_defaults(func=cmd_split)
+
+    p = sub.add_parser("convert2mu", help="structures -> Mu FASTA")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--minchainlength", type=int, default=1)
+    p.set_defaults(func=cmd_convert2mu)
+
+    p = sub.add_parser("gunzip", help="decompress a .gz file")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_gunzip)
+
+    p = sub.add_parser("cif2pdb", help="mmCIF -> PDB")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_cif2pdb)
+
+    p = sub.add_parser("prepare-query",
+                       help="select non-redundant query chains")
+    p.add_argument("input")
+    p.add_argument("--bca")
+    p.add_argument("--output")
+    p.add_argument("-n", type=int, default=4)
+    p.add_argument("--minchainlength", type=int, default=1)
+    p.set_defaults(func=cmd_prepare_query)
 
     for name, metric in (("lddt-msa", "lddt"), ("daliscore-msa", "dali")):
         p = sub.add_parser(name,

@@ -118,6 +118,58 @@ class DSSParams:
             raise ValueError(f"unknown mode {mode!r}")
         return dataclasses.replace(p, mode=mode)
 
+    # -- reference config-file surfaces --------------------------------
+
+    _SCALARS = {  # src/scalarparams.h names -> dataclass fields
+        "GapOpen": "gap_open", "GapExt": "gap_ext",
+        "FwdMatchScore": "fwd_match_score", "MinFwdScore": "min_fwd_score",
+        "Omega": "omega",
+    }
+
+    def set_param(self, name: str, value: float,
+                  append_if_weight: bool = True) -> None:
+        """SetParam (src/dssparams.cpp:191-216): scalar name or feature
+        weight."""
+        if name in self._SCALARS:
+            setattr(self, self._SCALARS[name], float(value))
+            return
+        if name not in ALPHA_SIZES:
+            raise ValueError(f"SetParam({name})")
+        feats, ws = list(self.features), list(self.weights)
+        if append_if_weight:
+            feats.append(name)
+            ws.append(float(value))
+        else:
+            ws[feats.index(name)] = float(value)
+        self.features, self.weights = tuple(feats), tuple(ws)
+
+    @staticmethod
+    def from_tsv(path: str) -> "DSSParams":
+        """-params FILE (FromTsv, src/dssparams.cpp:113-128): one
+        `Name<TAB>value` per line; feature names append weighted
+        features, scalar names set scalars."""
+        p = DSSParams(features=(), weights=())
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                name, value = line.split("\t")
+                p.set_param(name, float(value), append_if_weight=True)
+        return p
+
+    @staticmethod
+    def from_param_str(s: str) -> "DSSParams":
+        """Underscore syntax `AA:0.4_Conf:0.2_...` (FromParamStr,
+        src/namedparams.cpp:4-30; note its distinct scalar defaults)."""
+        p = DSSParams(features=(), weights=(), gap_open=-1.5,
+                      gap_ext=-0.42, fwd_match_score=0.0,
+                      min_fwd_score=0.0, omega=0.0)
+        for field in s.split("_"):
+            name, w = field.split(":")
+            p.set_param(name, float(w), append_if_weight=True)
+        return p
+
 
 class StatSig:
     """Fitted two-piece log-linear P-value model (src/statsig.cpp:27-50)."""

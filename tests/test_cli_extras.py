@@ -193,3 +193,74 @@ def test_train_features(tmp_path):
     mx = np.array([[int(v) for v in first[1 + i].split("\t")]
                    for i in range(as_conf)])
     assert np.diag(mx).sum() > 0
+
+
+def test_utility_commands(tmp_path):
+    from reseek_tpu.cli import main
+    from reseek_tpu.io.bca import read_bca
+
+    # shuffle: same chain set, different order, valid .bca
+    sh = tmp_path / "sh.bca"
+    assert main(["shuffle", Q10, "--bca", str(sh), "--seed", "7"]) == 0
+    orig = read_bca(Q10)
+    shuf = read_bca(str(sh))
+    assert sorted(c.label for c in shuf) == sorted(c.label for c in orig)
+
+    # split: 3 splits covering all chains
+    assert main(["split", Q10, "-n", "3",
+                 "--prefix", str(tmp_path / "part")]) == 0
+    got = []
+    for k in (1, 2, 3):
+        got += [c.label for c in read_bca(str(tmp_path / f"part{k}.bca"))]
+    assert got == [c.label for c in orig]
+
+    # convert2mu round-trips through the Mu FASTA reader
+    mufa = tmp_path / "q10.mu.fa"
+    assert main(["convert2mu", Q10, "--output", str(mufa)]) == 0
+    from reseek_tpu.io.mufasta import read_mu_fasta
+    labels, seqs = read_mu_fasta(str(mufa))
+    assert labels == [c.label for c in orig]
+    assert all(len(s) == len(c) for s, c in zip(seqs, orig))
+
+    # gunzip
+    import gzip
+    gz = tmp_path / "x.txt.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(b"hello")
+    out = tmp_path / "x.txt"
+    assert main(["gunzip", str(gz), "--output", str(out)]) == 0
+    assert out.read_bytes() == b"hello"
+
+    # prepare-query: self-duplicate detection
+    dup = tmp_path / "dup.bca"
+    from reseek_tpu.io.bca import BCAWriter
+    with BCAWriter(str(dup)) as w:
+        for c in orig[:2] + orig[:1]:
+            w.write_chain(c)
+    rep = tmp_path / "rep.tsv"
+    keep = tmp_path / "keep.bca"
+    assert main(["prepare-query", str(dup), "--bca", str(keep),
+                 "--output", str(rep)]) == 0
+    assert len(read_bca(str(keep))) == 2
+    assert "dupe" in rep.read_text()
+
+
+def test_distmx_and_params(tmp_path):
+    from reseek_tpu.cli import main
+    out = tmp_path / "dist.tsv"
+    assert main(["distmx", Q10, "--fast", "--engine", "host",
+                 "--output", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) > 0
+    a, b, ts = lines[0].split("\t")
+    assert float(ts) != 0.0
+
+    # --params file drives the search parameterization
+    pf = tmp_path / "p.tsv"
+    pf.write_text("AA\t0.398145\nConf\t0.202354\nGapOpen\t-0.6855\n"
+                  "GapExt\t-0.0519\nOmega\t0\nMinFwdScore\t0\n")
+    hits = tmp_path / "h.tsv"
+    assert main(["search", Q10, "--sensitive", "--params", str(pf),
+                 "--output", str(hits), "--columns", "query+target+dpscore",
+                 "--scores-are-not-evalues"]) == 0
+    assert hits.read_text().count("\n") > 0
