@@ -344,6 +344,35 @@ def cmd_scop40bench(args) -> int:
     return 0
 
 
+def cmd_prefilter_mu(args) -> int:
+    """-prefilter_mu (src/cmd_prefiltermu.cpp:50-130): Mu k-mer two-hit
+    prefilter of a query Mu FASTA against a target Mu FASTA; writes the
+    RankedScoresBag TSV (`prefilter<TAB>n` header, then
+    `targetIdx<TAB>nQ<TAB>q1 q2 ...` rows, rankedscoresbag.cpp:185-232)."""
+    import time
+
+    from reseek_tpu.search.prefilter import prefilter_search, read_mu_fasta
+    _qlabels, q_mu = read_mu_fasta(args.input)
+    tlabels, t_mu = read_mu_fasta(args.db)
+    t0 = time.time()
+    # both sides come from Mu FASTA -> both already in g_CharToLetterMu
+    # space; no extra query-side swap (unlike the -search pipeline)
+    pf = prefilter_search(q_mu, enumerate(t_mu), mode=args.mode,
+                          ascii_roundtrip=False)
+    secs = max(time.time() - t0, 1e-9)
+    print("Seqs/sec         %.3g" % (len(t_mu) / secs), file=sys.stderr)
+    t2q = pf.target_to_queries()
+    with open(args.output, "w") as f:
+        f.write("prefilter\t%u\n" % len(t2q))
+        for tidx in sorted(t2q):
+            qs = t2q[tidx]
+            f.write("%u\t%u" % (tidx, len(qs)))
+            for q in qs:
+                f.write("\t%u" % q)
+            f.write("\n")
+    return 0
+
+
 def cmd_distmx(args) -> int:
     """-distmx (src/distmx.cpp:26-64): all-vs-all self search writing
     `idxA<TAB>idxB<TAB>newts` rows for pairs with E <= max (Up rows only),
@@ -753,6 +782,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "device", "host"])
     p.set_defaults(func=cmd_scop40bench)
+
+    p = sub.add_parser("prefilter-mu",
+                       help="Mu k-mer prefilter of query vs target "
+                            "Mu FASTAs (reference -prefilter_mu)")
+    p.add_argument("input", help="query Mu FASTA")
+    p.add_argument("--db", required=True, help="target Mu FASTA")
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default=None,
+                   choices=[None, "idxq", "idxt", "exact"],
+                   help="neighborhood mode (default: reference rule — "
+                        "idxq for <=100 queries else idxt)")
+    p.set_defaults(func=cmd_prefilter_mu)
 
     p = sub.add_parser("distmx", help="TS distance matrix (idx pairs)")
     p.add_argument("input")

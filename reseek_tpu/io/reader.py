@@ -44,19 +44,37 @@ def scan_structure_files(path: str) -> List[str]:
     return [path]
 
 
+# running count of files that failed to parse, counted-not-fatal like
+# ChainReader2::m_CRGlobalFormatErrors (src/chainreader2.h:48,
+# src/convert.cpp:102-104): a bad file in a directory scan is reported
+# and skipped, not a crash.  Single-file inputs still raise.
+format_errors = 0
+
+
 def iter_chains(path: str, save_lines: bool = False) -> Iterator[Chain]:
-    for fn in scan_structure_files(path):
-        kind = _ext_kind(fn)
-        if kind == "cal":
-            yield from cal.iter_cal(fn)
-        elif kind == "bca":
-            with bca.BCAReader(fn) as r:
-                for i in range(len(r)):
-                    yield r.read_chain(i)
-        elif kind == "pdb":
-            yield from pdb.read_pdb(fn, save_lines=save_lines)
-        elif kind == "cif":
-            yield from cif.read_cif(fn)
+    global format_errors
+    files = scan_structure_files(path)
+    multi = len(files) > 1
+    for fn in files:
+        try:
+            kind = _ext_kind(fn)
+            if kind == "cal":
+                yield from cal.iter_cal(fn)
+            elif kind == "bca":
+                with bca.BCAReader(fn) as r:
+                    for i in range(len(r)):
+                        yield r.read_chain(i)
+            elif kind == "pdb":
+                yield from pdb.read_pdb(fn, save_lines=save_lines)
+            elif kind == "cif":
+                yield from cif.read_cif(fn)
+        except Exception:
+            if not multi:
+                raise
+            format_errors += 1
+            from reseek_tpu.utils.logger import get_logger
+            get_logger().progress_log(
+                f"format error in {fn} (total {format_errors})\n")
 
 
 def read_chains(path: str, save_lines: bool = False) -> List[Chain]:

@@ -537,9 +537,17 @@ def prefilter_search(query_mu: List[np.ndarray],
                      target_mu_iter: Iterable[Tuple[int, np.ndarray]],
                      top_b: int = RSB_SIZE,
                      mode: Optional[str] = None,
-                     chunk: int = 4096) -> PrefilterResult:
-    """Run the full prefilter over an (index, mu_letters) target stream."""
-    pf = MuPrefilter(query_mu, top_b=top_b, mode=mode)
+                     chunk: int = 4096,
+                     ascii_roundtrip: bool = True) -> PrefilterResult:
+    """Run the full prefilter over an (index, mu_letters) target stream.
+
+    ascii_roundtrip=True mirrors the production -search pipeline where
+    QUERY Mu letters round-trip through ASCII (K/L swap) while targets
+    stay numeric; pass False when BOTH sides come from Mu FASTA (the
+    standalone -prefilter_mu command), where both are already in
+    g_CharToLetterMu space and no extra swap must be applied."""
+    pf = MuPrefilter(query_mu, top_b=top_b, mode=mode,
+                     ascii_roundtrip=ascii_roundtrip)
     buf_mu: List[np.ndarray] = []
     buf_ti: List[int] = []
     for tidx, t_mu in target_mu_iter:

@@ -67,3 +67,23 @@ def test_ic_roundtrip():
     c = Chain("x", "AC", coords)
     c2 = Chain.from_ics("x", "AC", c.ics())
     assert np.abs(c2.coords - coords).max() < 0.051
+
+
+def test_format_errors_counted_not_fatal(tmp_path):
+    """A corrupt file in a multi-file scan is counted and skipped
+    (ChainReader2::m_CRGlobalFormatErrors semantics); a corrupt single
+    file still raises."""
+    import shutil
+    import pytest
+    from reseek_tpu.io import reader
+    from tests.conftest import REF_TEST_DATA
+    import os
+    good = os.path.join(REF_TEST_DATA, "q10.bca")
+    shutil.copy(good, tmp_path / "good.bca")
+    (tmp_path / "bad.bca").write_bytes(b"NOT A BCA FILE")
+    before = reader.format_errors
+    chains = reader.read_chains(str(tmp_path))
+    assert len(chains) == 10
+    assert reader.format_errors == before + 1
+    with pytest.raises(Exception):
+        reader.read_chains(str(tmp_path / "bad.bca"))

@@ -72,3 +72,49 @@ def test_self_prefilter_selects_self():
     res = prefilter_search(mus, list(enumerate(mus)))
     for qi in range(3):
         assert qi in [t for t, _s in res.query_targets[qi]]
+
+
+def test_scop40_scale_prefilter_parity():
+    """1hhs query vs the 11,211-chain scop40.mu.fa, exact mode, checked
+    against the reference binary's -prefilter_mu -output2 scores (golden
+    tests/golden/scop40_prefilter_1hhs_scores.tsv, produced with
+    `reseek -prefilter_mu 1hhs.mu.fa -db scop40.mu.fa -threads 1`).
+
+    All kept targets must score identically; the kept SET may differ only
+    at the boundary (lowest-kept) score, where the reference's lazy
+    2B-truncation quicksort breaks ties by internal order
+    (src/rankedscoresbag.cpp:5-51)."""
+    import os
+    import numpy as np
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.search.prefilter import (_swap_kl, prefilter_search,
+                                             read_mu_fasta)
+    from tests.conftest import GOLDEN, REF_TEST_DATA
+
+    scopfa = os.path.join(REF_TEST_DATA, "scop40.mu.fa")
+    if not os.path.exists(scopfa):
+        import pytest
+        pytest.skip("scop40.mu.fa not available")
+    # query Mu letters exactly as the reference -convert2mu FASTA would
+    # round-trip them (encode -> ASCII -> g_CharToLetterMu)
+    chain = read_bca(os.path.join(REF_TEST_DATA, "1hhs.bca"))[0]
+    q_mu = _swap_kl(encode_chain(chain).mu_letters)
+    tlabels, t_mu = read_mu_fasta(scopfa)
+    pf = prefilter_search([q_mu], enumerate(t_mu), mode="exact",
+                          ascii_roundtrip=False)
+    ours = {tlabels[t]: s for t, s in pf.query_targets[0]}
+
+    ref = {}
+    with open(os.path.join(GOLDEN, "scop40_prefilter_1hhs_scores.tsv")) as f:
+        for line in f:
+            _q, t, s = line.rstrip("\n").split("\t")[:3]
+            ref[t] = int(s)
+    assert len(ours) == len(ref) == 1500
+    boundary = min(ref.values())
+    common = set(ref) & set(ours)
+    assert all(ref[k] == ours[k] for k in common)
+    sym = set(ref) ^ set(ours)
+    assert len(sym) <= 4
+    for k in sym:
+        assert (ref.get(k, ours.get(k))) == boundary
