@@ -72,9 +72,10 @@ def cmd_convert(args) -> int:
         with open(args.cal, "w") as f:
             write_cal(chains, f)
     if args.fasta:
+        from reseek_tpu.io.mufasta import seq_to_fasta
         with open(args.fasta, "w") as f:
             for c in chains:
-                f.write(f">{c.label}\n{c.seq}\n")
+                seq_to_fasta(f, c.label, c.seq)
     if args.pdb:
         # multi-PDB: MODEL/TITLE/ENDMDL per chain (src/convert.cpp:169-182)
         from reseek_tpu.io.pdb import write_pdb
@@ -85,10 +86,11 @@ def cmd_convert(args) -> int:
                 write_pdb(c, f)
                 f.write("ENDMDL\n")
     if args.feature_fasta:
+        from reseek_tpu.io.mufasta import seq_to_fasta
         with open(args.feature_fasta, "w") as f:
             for c in chains:
-                s = feature_string(encode_chain(c), args.alpha)
-                f.write(f">{c.label}\n{s}\n")
+                seq_to_fasta(f, c.label,
+                             feature_string(encode_chain(c), args.alpha))
     if args.index:
         from reseek_tpu.io.artifact import write_artifact
         modes = [m for m in args.index_modes.split(",") if m]
@@ -450,13 +452,14 @@ def cmd_convert2mu(args) -> int:
     """-convert2mu (src/convert2mu.cpp:7-60): structures -> Mu-letter
     FASTA (streamed)."""
     from reseek_tpu.encoder.dss import encode_chain, feature_string
+    from reseek_tpu.io.mufasta import seq_to_fasta
     from reseek_tpu.io.reader import iter_chains
     n = 0
     with open(args.output, "w") as f:
         for c in iter_chains(args.input):
             if len(c) < max(args.minchainlength, 1):
                 continue
-            f.write(f">{c.label}\n{feature_string(encode_chain(c), 'Mu')}\n")
+            seq_to_fasta(f, c.label, feature_string(encode_chain(c), "Mu"))
             n += 1
     print(f"{n} chains converted", file=sys.stderr)
     return 0
@@ -893,8 +896,36 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _reference_style(argv: List[str]) -> List[str]:
+    """Accept the reference binary's flag spelling (src/myutils.cpp option
+    parser): `reseek -search db.bca -sensitive -output hits.tsv` becomes
+    `search db.bca --sensitive --output hits.tsv`.  Triggered only when
+    the first argument is -<known command>; single-dash long options are
+    rewritten to GNU style, underscores to dashes."""
+    cmds = {"convert", "search", "alignpair", "pdb2ss", "pdb2mega",
+            "scop40bench", "prefilter-mu", "distmx", "shuffle", "split",
+            "convert2mu", "gunzip", "cif2pdb", "prepare-query", "lddt-msa",
+            "daliscore-msa", "train-features", "fit-gumbel", "calibrate",
+            "chains2pdbs", "getchains", "bca-stats"}
+    if not argv or not argv[0].startswith("-"):
+        return argv
+    head = argv[0].lstrip("-").replace("_", "-")
+    if head not in cmds:
+        return argv
+    out = [head]
+    for a in argv[1:]:
+        if (a.startswith("-") and not a.startswith("--") and len(a) > 2
+                and not a[1].isdigit()):
+            out.append("--" + a[1:].replace("_", "-"))
+        else:
+            out.append(a)
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = build_parser().parse_args(_reference_style(list(argv)))
     return args.func(args)
 
 

@@ -17,10 +17,23 @@ import numpy as np
 
 from reseek_tpu.search.prefilter import mu_from_ascii, read_mu_fasta
 
-__all__ = ["mu_from_ascii", "read_mu_fasta", "iter_mu_fasta"]
+__all__ = ["mu_from_ascii", "read_mu_fasta", "iter_mu_fasta",
+           "seq_to_fasta"]
 
 
 def iter_mu_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (label, mu_letters uint8) per record."""
     labels, seqs = read_mu_fasta(path)
     yield from zip(labels, seqs)
+
+
+def seq_to_fasta(f, label: str, seq: str, rowlen: int = 80) -> None:
+    """FASTA record writer, byte-compatible with the reference's
+    SeqToFasta (src/sfasta.cpp:5-26, default ROWLEN=80 from
+    src/myutils.h:380-383): empty sequences write nothing."""
+    if not seq:
+        return
+    f.write(f">{label}\n")
+    for i in range(0, len(seq), rowlen):
+        f.write(seq[i:i + rowlen])
+        f.write("\n")

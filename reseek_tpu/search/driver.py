@@ -194,17 +194,25 @@ def _encode_all(chains, params: DSSParams,
     from an .rsdx artifact, io/artifact.py) pass through with only the
     missing self-rev scores computed (the artifact's -dbmu-and-more role,
     src/search.cpp:96-99)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from reseek_tpu.align.pipeline import FLT_MAX, self_rev_score
-    out = []
-    for c in chains:
+
+    def one(c):
         if isinstance(c, EncodedChain):
             if with_self_rev and c.self_rev_score == FLT_MAX:
                 c.self_rev_score = self_rev_score(c, params)
-            out.append(c)
-        else:
-            out.append(encode_for_search(c, params,
-                                         with_self_rev=with_self_rev))
-    return out
+            return c
+        return encode_for_search(c, params, with_self_rev=with_self_rev)
+
+    chains = list(chains)
+    if len(chains) < 8:
+        return [one(c) for c in chains]
+    # the native encoder releases the GIL inside its ctypes call, so a
+    # thread pool uses all host cores (reference: all-core OpenMP encode)
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as tp:
+        return list(tp.map(one, chains))
 
 
 def _maybe_trace(drv: SearchDriver, ecs: List[EncodedChain],

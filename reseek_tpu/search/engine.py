@@ -457,8 +457,8 @@ def finish_result(res: AlignResult, q: EncodedChain, t: EncodedChain,
 #     order (src/dssaligner.cpp:852-904)
 # ---------------------------------------------------------------------------
 
-STAGE1_CELLS = 1 << 27   # cells (fwd+rev counted separately) per sub-chunk
-STAGE3_CELLS = 1 << 24   # traceback DP cells per chunk (tb tensor + LDDT)
+STAGE1_CELLS = 1 << 28   # cells (fwd+rev counted separately) per sub-chunk
+STAGE3_CELLS = 1 << 26   # traceback DP cells per chunk (tb tensor + LDDT)
 EDGE_SET = (128, 256, 512, 1024, 2048, 4096, 8192)
 MU_SAT_LIMIT = 250.0      # parasail 8-bit: saturated iff score > 250
 MU_SAT_SCORE = 777.0      # forced FWD score on saturation
@@ -467,16 +467,17 @@ MU_SAT_REV_SCORE = 255.0  # saturated REV keeps parasail's clamp (see
 
 
 def _edges_for(params: DSSParams, lmax: int) -> Tuple[int, ...]:
-    """Bucket edges: EDGE_SET trimmed to lmax, with mkfl-1 inserted so the
-    device/host (full-SW vs MKF) routing boundary is a bucket edge."""
-    edges = {e for e in EDGE_SET if e < lmax * 2}
-    if params.mkfl - 1 < lmax:
-        edges.add(params.mkfl - 1)
-    edges = sorted(edges)
+    """Bucket edges: EDGE_SET trimmed to lmax.  All edges are multiples of
+    128 (TPU lane width), so every compiled kernel shape is lane-aligned;
+    the device/host (full-SW vs MKF) routing boundary is NOT an edge — the
+    sorted-by-length layout makes the device-eligible chains a contiguous
+    PREFIX (clamped per bucket via dev_end), so misaligned mkfl values
+    never force a misaligned kernel shape."""
+    edges = sorted(e for e in EDGE_SET if e < lmax * 2)
     while edges and edges[-1] < lmax:
         edges.append(edges[-1] * 2)
     if not edges:
-        edges = [max(lmax, 8)]
+        edges = [-(-max(lmax, 8) // 128) * 128]
     out = []
     for e in edges:
         out.append(e)
@@ -494,10 +495,12 @@ def _packbits_device(mask):
     return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
 
 
-def _stage1_body(la: int, lb: int, ca: int, cb: int, open_: float,
+def _stage1_body(le: int, ca: int, cb: int, open_: float,
                  ext: float, omega_fwd: float, omega: float):
     """One (ca x cb) pair block of the self-search Mu filter; pair indices
-    generated on device from range scalars.  Returns packed pass bits
+    generated on device from range scalars.  Both sides are padded to the
+    same 128-aligned edge `le` (padding letter 36 scores NEG/2 and cannot
+    change the integer-exact DP best).  Returns packed pass bits
     [ca*cb//8]."""
     import jax.numpy as jnp
     from reseek_tpu.ops.sw_sweep import mu_smx_onehot, sw_score_sweep_auto
@@ -515,9 +518,9 @@ def _stage1_body(la: int, lb: int, ca: int, cb: int, open_: float,
         ibc = jnp.clip(ib, 0, n - 1)
         idx_a = jnp.repeat(iac, cb)
         idx_b = jnp.tile(ibc, ca)
-        a = mu[idx_a][:, :la].astype(jnp.int32)
-        ar = mu_rev[idx_a][:, :la].astype(jnp.int32)
-        b = mu[idx_b][:, :lb].astype(jnp.int32)
+        a = mu[idx_a][:, :le].astype(jnp.int32)
+        ar = mu_rev[idx_a][:, :le].astype(jnp.int32)
+        b = mu[idx_b][:, :le].astype(jnp.int32)
         # fwd and rev in one kernel launch ([2B] batch)
         both = sw_score_sweep_auto(
             mu_smx_onehot(jnp.concatenate([a, ar]),
@@ -538,12 +541,12 @@ def _stage1_body(la: int, lb: int, ca: int, cb: int, open_: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_block_fn(la: int, lb: int, ca: int, cb: int, nsa: int, nsb: int,
+def _stage1_block_fn(le: int, ca: int, cb: int,
                      open_: float, ext: float, omega_fwd: float,
                      omega: float):
     """Compiled single-device stage-1 block (returns bits [1, ca*cb//8])."""
     import jax
-    body = _stage1_body(la, lb, ca, cb, open_, ext, omega_fwd, omega)
+    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
 
     def block(mu, mu_rev, mumx, a0, b0, a1, b1):
         return body(mu, mu_rev, mumx, a0, b0, a1, b1)[None]
@@ -552,7 +555,7 @@ def _stage1_block_fn(la: int, lb: int, ca: int, cb: int, nsa: int, nsb: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_block_fn_sharded(mesh, axis: str, la: int, lb: int, ca: int,
+def _stage1_block_fn_sharded(mesh, axis: str, le: int, ca: int,
                              cb: int, open_: float, ext: float,
                              omega_fwd: float, omega: float):
     """Sharded stage-1: each mesh device runs one (ca x cb) block with its
@@ -566,7 +569,7 @@ def _stage1_block_fn_sharded(mesh, axis: str, la: int, lb: int, ca: int,
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
-    body = _stage1_body(la, lb, ca, cb, open_, ext, omega_fwd, omega)
+    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
 
     def local(mu, mu_rev, mumx, a0v, b0v, a1, b1):
         return body(mu, mu_rev, mumx, a0v[0], b0v[0], a1[0], b1[0])[None]
@@ -579,7 +582,7 @@ def _stage1_block_fn_sharded(mesh, axis: str, la: int, lb: int, ca: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
+def _stage3_fn_sharded(mesh, axis: str, le: int, pad_code: int,
                        open_: float, ext: float, use_pallas: bool):
     """Data-parallel survivor alignment: the pair batch is sharded on
     `axis`, the DB arrays are replicated; each device runs the identical
@@ -591,7 +594,7 @@ def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
-    body = _stage3_body(la, lb, pad_code, open_, ext, use_pallas)
+    body = _stage3_body(le, le, pad_code, open_, ext, use_pallas)
 
     sm = shard_map(
         body, mesh=mesh,
@@ -601,10 +604,10 @@ def _stage3_fn_sharded(mesh, axis: str, la: int, lb: int, pad_code: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage3_fn(la: int, lb: int, pad_code: int, open_: float, ext: float,
+def _stage3_fn(le: int, pad_code: int, open_: float, ext: float,
                use_pallas: bool):
     import jax
-    return jax.jit(_stage3_body(la, lb, pad_code, open_, ext, use_pallas))
+    return jax.jit(_stage3_body(le, le, pad_code, open_, ext, use_pallas))
 
 
 def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
@@ -675,15 +678,22 @@ def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
         lddt, risky = lddt_batch(cq, ct, valid, n_m.astype(jnp.int32),
                                  with_risky=True)
         # pack per-pair scalars into ONE f32 array and the path codes into
-        # ONE int8 array: the device->host tunnel costs ~40-100 ms latency
-        # PER FETCH, so two fetches per job instead of ten (all integer
-        # values here are < 2^24, exact in f32; path codes are 0..3)
+        # ONE 2-bit-packed uint8 array: the device->host tunnel costs
+        # ~40-100 ms latency PER FETCH and ~3-30 MB/s, so two fetches per
+        # job instead of ten, and 4 path codes per fetched byte (all
+        # integer values here are < 2^24, exact in f32; codes are 0..3)
         f32 = jnp.float32
         scal = jnp.stack(
             [best, lo_a.astype(f32), lo_b.astype(f32),
              bi.astype(f32), bj.astype(f32), plen.astype(f32),
              lddt, n_m.astype(f32), risky.astype(f32)], axis=1)
-        return scal, path_rev.astype(jnp.int8)
+        pr = path_rev.astype(jnp.int32)
+        plen4 = -(-pr.shape[1] // 4) * 4
+        pr = jnp.pad(pr, ((0, 0), (0, plen4 - pr.shape[1])))
+        pr = pr.reshape(pr.shape[0], plen4 // 4, 4)
+        shifts = jnp.asarray(np.array([1, 4, 16, 64], np.int32))
+        packed = jnp.sum(pr * shifts, axis=2).astype(jnp.uint8)
+        return scal, packed
 
     return run
 
@@ -745,9 +755,12 @@ class DeviceSelfSearch:
             sel = np.flatnonzero(self.bucket_of == bi)
             if len(sel):
                 self.range_of[bi] = (int(sel[0]), int(sel[-1]) + 1)
-        # device-side routing limit: max(la, lb) < mkfl
-        self.n_device_buckets = sum(
-            1 for e in self.edges if e <= params.mkfl - 1)
+        # device-side routing limit: chains with length < mkfl take the
+        # device path; sorted-by-length layout makes them the prefix
+        # [0, dev_end) of the sorted index space, so per-bucket device
+        # ranges are just clamped at dev_end (length >= mkfl chains route
+        # to the host MKF path, src/dssaligner.cpp DoMKF)
+        self.dev_end = int(np.searchsorted(self.sorted_lens, params.mkfl))
 
         offsets, d, w = flat_layout(params.features, params.weights)
         self.offsets = jnp.asarray(offsets.astype(np.int32))
@@ -775,18 +788,37 @@ class DeviceSelfSearch:
         self.coords = jnp.asarray(coords)
         self.prof_rev = None
         if with_rev_profiles:
+            from concurrent.futures import ThreadPoolExecutor
             prof_rev = np.full((n, nf, L), PAD_BYTE, np.uint8)
-            for s, oi in enumerate(self.order):
+
+            def rev_one(s_oi):
+                s, oi = s_oi
                 ec = ecs[oi]
                 if len(ec) >= params.mkfl:
-                    continue  # long chains take the host MKF selfrev path
+                    return  # long chains take the host MKF selfrev path
                 ln = min(len(ec), L)
                 rp = encode_chain(ec.chain.reversed()).profile(params)
                 prof_rev[s, :, :ln] = rp[:, :ln]
+
+            with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as tp:
+                list(tp.map(rev_one, enumerate(self.order)))
             self.prof_rev = jnp.asarray(prof_rev)
         # sorted index of each original index
         self.sorted_of = np.empty(n, np.int64)
         self.sorted_of[self.order] = np.arange(n)
+
+    def _device_ranges(self):
+        """(bucket_index, s0, s1) for each bucket's device-eligible
+        (length < mkfl) sorted-index range, clamped at dev_end."""
+        out = []
+        for bi in range(len(self.edges)):
+            if bi not in self.range_of:
+                continue
+            s0, s1 = self.range_of[bi]
+            s1 = min(s1, self.dev_end)
+            if s0 < s1:
+                out.append((bi, s0, s1))
+        return out
 
     # -- self-reversal scores (src/alignpair.cpp:7-25), device part ------
     def self_rev_scores_device(self) -> np.ndarray:
@@ -797,10 +829,7 @@ class DeviceSelfSearch:
         k = _kernels()
         out = np.full(len(self.ecs), np.nan, np.float32)
         jobs = []
-        for bi in range(self.n_device_buckets):
-            if bi not in self.range_of:
-                continue
-            s0, s1 = self.range_of[bi]
+        for bi, s0, s1 in self._device_ranges():
             e = self.edges[bi]
             idx = jnp.arange(s0, s1)
             sc = k["stage2_full"](
@@ -821,16 +850,13 @@ class DeviceSelfSearch:
         import jax.numpy as jnp
         p = self.params
         o, e = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
-        dev = [bi for bi in range(self.n_device_buckets)
-               if bi in self.range_of]
+        dev = self._device_ranges()
         pair_chunks = []
         if p.omega <= 0:
-            for ai in dev:
-                a0, a1 = self.range_of[ai]
-                for bi_ in dev:
+            for ai, a0, a1 in dev:
+                for bi_, b0, b1 in dev:
                     if bi_ < ai:
                         continue
-                    b0, b1 = self.range_of[bi_]
                     ia, ib = np.meshgrid(np.arange(a0, a1),
                                          np.arange(b0, b1), indexing="ij")
                     keep = ib >= ia
@@ -840,15 +866,15 @@ class DeviceSelfSearch:
             import jax.numpy as jnp
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             jobs = []  # (handle, [(ba, bb)] per row, ca, cb)
-            for ai in dev:
-                a0, a1 = self.range_of[ai]
-                la = self.edges[ai]
-                for bi_ in dev:
+            for ai, a0, a1 in dev:
+                for bi_, b0, b1 in dev:
                     if bi_ < ai:
                         continue
-                    b0, b1 = self.range_of[bi_]
-                    lb = self.edges[bi_]
-                    budget = max(256, STAGE1_CELLS // (la * lb))
+                    # pad both sides to the LARGER bucket's 128-aligned
+                    # edge: one compiled shape per edge instead of one per
+                    # (la, lb) combination (remote compiles are minutes)
+                    le = self.edges[bi_]
+                    budget = max(256, STAGE1_CELLS // (le * le))
                     ca = int(min(64, budget))
                     cb = int(min(max(8, budget // ca), 512))
                     starts = [(ba, bb)
@@ -857,7 +883,7 @@ class DeviceSelfSearch:
                               if bb + cb > ba]  # skip below-diagonal blocks
                     if self.mesh is None:
                         fn = _stage1_block_fn(
-                            la, lb, ca, cb, 1, 1, o, e,
+                            le, ca, cb, o, e,
                             float(p.omega_fwd), float(p.omega))
                         for ba, bb in starts:
                             r = fn(self.mu, self.mu_rev, self.mumx,
@@ -865,7 +891,7 @@ class DeviceSelfSearch:
                             jobs.append((r, [(ba, bb)], ca, cb))
                     else:
                         fn = _stage1_block_fn_sharded(
-                            self.mesh, self.mesh_axis, la, lb, ca, cb,
+                            self.mesh, self.mesh_axis, le, ca, cb,
                             o, e, float(p.omega_fwd), float(p.omega))
                         for g in range(0, len(starts), n_dev):
                             grp = starts[g: g + n_dev]
@@ -918,25 +944,24 @@ class DeviceSelfSearch:
             return results
         use_pallas = _use_pallas()
         edges = np.asarray(self.edges)
-        ba = edges[np.minimum(np.searchsorted(edges,
-                                              self.lens[pairs_orig[:, 0]]),
-                              len(edges) - 1)]
-        bb = edges[np.minimum(np.searchsorted(edges,
-                                              self.lens[pairs_orig[:, 1]]),
-                              len(edges) - 1)]
+        # square 128-aligned shapes keyed by the pair's max length: one
+        # compiled kernel per edge (not per (la, lb) combination)
+        be = edges[np.minimum(
+            np.searchsorted(edges, np.maximum(self.lens[pairs_orig[:, 0]],
+                                              self.lens[pairs_orig[:, 1]])),
+            len(edges) - 1)]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         jobs = []
-        for key in sorted({(int(x), int(y)) for x, y in zip(ba, bb)}):
-            la, lb = key
-            rows = np.flatnonzero((ba == la) & (bb == lb))
-            bs = max(8, STAGE3_CELLS // (la * lb))
+        for le in sorted({int(x) for x in be}):
+            rows = np.flatnonzero(be == le)
+            bs = max(8, STAGE3_CELLS // (le * le))
             if self.mesh is not None:
                 bs = -(-bs // n_dev) * n_dev
                 fn = _stage3_fn_sharded(
-                    self.mesh, self.mesh_axis, la, lb, self.pad_code,
+                    self.mesh, self.mesh_axis, le, self.pad_code,
                     float(p.gap_open), float(p.gap_ext), use_pallas)
             else:
-                fn = _stage3_fn(la, lb, self.pad_code,
+                fn = _stage3_fn(le, self.pad_code,
                                 float(p.gap_open), float(p.gap_ext),
                                 use_pallas)
             for kk in range(0, len(rows), bs):
@@ -955,14 +980,20 @@ class DeviceSelfSearch:
         # fetches through the tunnel cost ~40-100 ms latency each)
         import jax
         fetched = jax.device_get([r for r, _, _ in jobs])
-        for (scal, path_rev_i8), (_, rr, chunk) in zip(fetched, jobs):
+        for (scal, packed), (_, rr, chunk) in zip(fetched, jobs):
             best, lo_a, lo_b, hi_a, hi_b, plen, lddt, n_m, risky = (
                 scal[:, 0], scal[:, 1].astype(np.int64),
                 scal[:, 2].astype(np.int64), scal[:, 3].astype(np.int64),
                 scal[:, 4].astype(np.int64), scal[:, 5].astype(np.int64),
                 scal[:, 6], scal[:, 7].astype(np.int64),
                 scal[:, 8].astype(bool))
-            path_rev = path_rev_i8
+            # unpack the 2-bit path codes (4 per byte, little-end first)
+            pk = packed.astype(np.uint8)
+            path_rev = np.empty((pk.shape[0], pk.shape[1] * 4), np.uint8)
+            path_rev[:, 0::4] = pk & 3
+            path_rev[:, 1::4] = (pk >> 2) & 3
+            path_rev[:, 2::4] = (pk >> 4) & 3
+            path_rev[:, 3::4] = (pk >> 6) & 3
             n = len(rr)
             sa = np.array([self.ecs[i].self_rev_score for i in chunk[:, 0]],
                           np.float32)
