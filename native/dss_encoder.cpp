@@ -257,31 +257,35 @@ int dss_encode(const float *coords, const char *seq, int L,
     }
 
     // ---- per-position feature letters ---------------------------------
-    // AA letter table: ACDEFGHIKLMNPQRSTVWY
-    static int8_t aa_tab[256];
-    static int8_t aa3_tab[256];
-    static int8_t aa4_tab[256];
-    static bool tabs_init = false;
-    if (!tabs_init) {
-        memset(aa_tab, -1, sizeof aa_tab);
-        memset(aa3_tab, 0, sizeof aa3_tab);
-        memset(aa4_tab, 0, sizeof aa4_tab);
-        const char *alpha = "ACDEFGHIKLMNPQRSTVWY";
-        for (int i = 0; alpha[i]; ++i) {
-            aa_tab[(uint8_t)alpha[i]] = i;
-            aa_tab[(uint8_t)(alpha[i] + 32)] = i;  // lowercase
+    // AA letter tables: function-local static struct so initialization is
+    // thread-safe (C++11 magic statics) — encode calls run concurrently
+    // from a Python thread pool with the GIL released.
+    struct AATabs {
+        int8_t aa[256], aa3[256], aa4[256];
+        AATabs() {
+            memset(aa, -1, sizeof aa);
+            memset(aa3, 0, sizeof aa3);
+            memset(aa4, 0, sizeof aa4);
+            const char *alpha = "ACDEFGHIKLMNPQRSTVWY";
+            for (int i = 0; alpha[i]; ++i) {
+                aa[(uint8_t)alpha[i]] = i;
+                aa[(uint8_t)(alpha[i] + 32)] = i;  // lowercase
+            }
+            const char *a3_1 = "ADEHKNPQRST", *a3_2 = "CFILMVWY";
+            for (const char *c = a3_1; *c; ++c) aa3[(uint8_t)*c] = 1;
+            for (const char *c = a3_2; *c; ++c) aa3[(uint8_t)*c] = 2;
+            aa3[(uint8_t)'G'] = 0;
+            const char *a4_1 = "AHPST", *a4_2 = "CFILMVWY",
+                       *a4_3 = "DEKNQR";
+            for (const char *c = a4_1; *c; ++c) aa4[(uint8_t)*c] = 1;
+            for (const char *c = a4_2; *c; ++c) aa4[(uint8_t)*c] = 2;
+            for (const char *c = a4_3; *c; ++c) aa4[(uint8_t)*c] = 3;
+            aa4[(uint8_t)'G'] = 0;
         }
-        const char *a3_1 = "ADEHKNPQRST", *a3_2 = "CFILMVWY";
-        for (const char *c = a3_1; *c; ++c) aa3_tab[(uint8_t)*c] = 1;
-        for (const char *c = a3_2; *c; ++c) aa3_tab[(uint8_t)*c] = 2;
-        aa3_tab[(uint8_t)'G'] = 0;
-        const char *a4_1 = "AHPST", *a4_2 = "CFILMVWY", *a4_3 = "DEKNQR";
-        for (const char *c = a4_1; *c; ++c) aa4_tab[(uint8_t)*c] = 1;
-        for (const char *c = a4_2; *c; ++c) aa4_tab[(uint8_t)*c] = 2;
-        for (const char *c = a4_3; *c; ++c) aa4_tab[(uint8_t)*c] = 3;
-        aa4_tab[(uint8_t)'G'] = 0;
-        tabs_init = true;
-    }
+    };
+    static const AATabs tabs;
+    const int8_t *aa_tab = tabs.aa, *aa3_tab = tabs.aa3,
+                 *aa4_tab = tabs.aa4;
 
     static const uint8_t SS3_MAP[4] = {0, 1, 2, 2};
     for (int p = 0; p < L; ++p) {

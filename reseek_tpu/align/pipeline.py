@@ -93,6 +93,10 @@ def self_rev_score(ec: EncodedChain, params: DSSParams) -> float:
             mu_letters=ec.mu_letters,
             mu_kmers=ec.mu_kmers)
         return align_mkf(ec, rev_ec, params).fwd_score
+    from reseek_tpu.ops.sw_native import sw_score_profile_native
+    native = sw_score_profile_native(params, ec.profile, rev_profile)
+    if native is not None:
+        return max(native, 0.0)
     smx = build_smx(params, ec.profile, rev_profile)
     return sw_score(smx, params.gap_open, params.gap_ext)
 
@@ -127,6 +131,27 @@ class AlignResult:
         return len(self.path)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _mu_mx_f32() -> np.ndarray:
+    from reseek_tpu.data.tables import get_tables
+    return np.ascontiguousarray(
+        get_tables().mu_score_mx_int8.astype(np.float32))
+
+
+def _mu_sw_score(a: np.ndarray, b: np.ndarray, open_: float,
+                 ext: float) -> float:
+    """Mu-letter SW score (parasail recurrences), native when available —
+    integer-exact under any kernel."""
+    from reseek_tpu.ops.sw_native import sw_score_letters_native
+    v = sw_score_letters_native(a, b, _mu_mx_f32(), open_, ext)
+    if v is not None:
+        return v
+    return sw_score(build_mu_smx(a, b), open_, ext)
+
+
 class PairAligner:
     """Pair alignment state machine (reference DSSAligner,
     src/dssaligner.cpp:793-945)."""
@@ -156,13 +181,12 @@ class PairAligner:
                 build_mu_smx(q.mu_letters[::-1], t.mu_letters)))
             return fwd - rev
         open_, ext = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
-        fwd = sw_score(build_mu_smx(q.mu_letters, t.mu_letters), open_, ext)
+        fwd = _mu_sw_score(q.mu_letters, t.mu_letters, open_, ext)
         if fwd > MU_SAT_LIMIT:
             fwd = MU_SAT_SCORE
         if fwd < p.omega_fwd:
             return 0.0
-        rev = sw_score(build_mu_smx(q.mu_letters[::-1], t.mu_letters),
-                       open_, ext)
+        rev = _mu_sw_score(q.mu_letters[::-1], t.mu_letters, open_, ext)
         if rev > MU_SAT_LIMIT:
             rev = MU_SAT_REV_SCORE
         return fwd - rev
@@ -205,8 +229,13 @@ class PairAligner:
     def align_no_accel(self, q: EncodedChain,
                        t: EncodedChain) -> AlignResult:
         p = self.params
-        smx = build_smx(p, q.profile, t.profile)
-        score, lo_a, lo_b, path = sw_align(smx, p.gap_open, p.gap_ext)
+        from reseek_tpu.ops.sw_native import sw_align_profile_native
+        nat = sw_align_profile_native(p, q.profile, t.profile)
+        if nat is not None:
+            score, lo_a, lo_b, path = nat
+        else:
+            smx = build_smx(p, q.profile, t.profile)
+            score, lo_a, lo_b, path = sw_align(smx, p.gap_open, p.gap_ext)
         res = AlignResult(query=q.label, target=t.label, fwd_score=score,
                           lo_a=lo_a, lo_b=lo_b, path=path)
         self.calc_evalue(res, q, t)

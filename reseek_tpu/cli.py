@@ -163,19 +163,108 @@ def cmd_search(args) -> int:
         chains = _read_chains_or_artifact(args.input, params)
         if args.db and mode == "fast":
             from reseek_tpu.search.driver import fast_search
+            pf_mode = ("idxq" if args.idxq
+                       else "idxt" if args.idxt else None)
             drv = fast_search(chains, args.db, params, options, out,
-                              dbmu=args.dbmu)
+                              dbmu=args.dbmu, engine=args.engine,
+                              prefilter_mode=pf_mode)
         elif args.db:
             db_chains = _read_chains_or_artifact(args.db, params)
-            drv = query_search(chains, db_chains, params, options, out)
+            drv = query_search(chains, db_chains, params, options, out,
+                               engine=args.engine)
         else:
-            drv = self_search(chains, params, options, out)
+            drv = self_search(chains, params, options, out,
+                              engine=args.engine)
         drv.run_stats(n_threads=max(1, args.threads))
     finally:
         if args.output:
             out.close()
         if aln:
             aln.close()
+    return 0
+
+
+def cmd_align_bags(args) -> int:
+    """MKF-vs-full-SW self-check (reference -align_bags,
+    src/align_bag.cpp:97-199): all-vs-all pairs with both chains >= 400
+    residues, full sensitive SW (UsePara off, Omega 0) kept at E <= 1,
+    re-aligned through the MKF bag path; prints E-value and pctid for
+    both and flags PROBLEM rows (bag chain missing at E_sw < 0.01, or
+    pctid drop > 5)."""
+    from reseek_tpu.align.mkf import align_mkf
+    from reseek_tpu.align.output import _pct_id
+    from reseek_tpu.align.pipeline import PairAligner, encode_for_search
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+
+    import copy
+
+    import numpy as np
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.search.engine import _exact_fwd_score
+
+    params = DSSParams.create("sensitive")
+    params.use_para = False
+    params.omega = 0.0
+    chains = read_chains(args.input)
+    out = open(args.output, "w") if args.output else sys.stdout
+    pa = PairAligner(params)
+    # bag side: standard self-rev (MKF quirk for chains >= mkfl, Mu
+    # k-mers passed — src/align_bag.cpp:29-31); SW side: the reference
+    # passes NO Mu k-mers to GetSelfRevScore (align_bag.cpp:135), so the
+    # self-rev there is FULL SW even for long chains
+    ecs = [encode_for_search(c, params) for c in chains]
+    sw_ecs = []
+    for ec in ecs:
+        rev_profile = encode_chain(ec.chain.reversed()).profile(params)
+        sw_ec = copy.copy(ec)
+        sw_ec.self_rev_score = max(
+            _exact_fwd_score(params, ec.profile, rev_profile), 0.0)
+        sw_ecs.append(sw_ec)
+    n_problem = 0
+    n_rows = 0
+
+    def e2(v):
+        return "%.2e" % np.float32(v)  # reference stores E as float32
+
+    try:
+        for a in range(len(ecs)):
+            for b in range(a, len(ecs)):
+                q, t = ecs[a], ecs[b]
+                if len(q) < 400 or len(t) < 400:
+                    continue
+                res_sw = pa.align_no_accel(sw_ecs[a], sw_ecs[b])
+                if res_sw.evalue > 1:
+                    continue
+                res_bag = align_mkf(q, t, params)
+                has_bag = res_bag.best_chain_score > 0
+                problem = False
+                row = [q.label, t.label, e2(res_sw.evalue)]
+                if has_bag:
+                    row.append(e2(res_bag.evalue))
+                else:
+                    if res_sw.evalue < 0.01:
+                        problem = True
+                    row.append("PROBE")
+                pct_sw = _pct_id(res_sw, q, t)
+                row.append("%.1f" % pct_sw)
+                if has_bag:
+                    pct_bag = _pct_id(res_bag, q, t)
+                    if pct_sw - pct_bag > 5:
+                        problem = True
+                    row.append("%.1f" % pct_bag)
+                else:
+                    row.append("nobag")
+                if problem:
+                    row.append("PROBLEM")
+                    n_problem += 1
+                n_rows += 1
+                out.write("\t".join(row) + "\n")
+    finally:
+        if args.output:
+            out.close()
+    print(f"align-bags: {n_rows} rows, {n_problem} PROBLEM",
+          file=sys.stderr)
     return 0
 
 
@@ -740,6 +829,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=0,
                    help="host worker threads (0 = all cores)")
     p.add_argument("--log", help="write a log file (reference -log)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="force the batched device engine or the host "
+                        "per-pair path (default: device when a TPU is "
+                        "attached)")
+    p.add_argument("--idxq", action="store_true",
+                   help="force query-neighborhood prefilter indexing "
+                        "(reference -idxq, src/muprefilter.cpp:70-80)")
+    p.add_argument("--idxt", action="store_true",
+                   help="force target-neighborhood prefilter mode "
+                        "(reference -idxt)")
     p.add_argument("--params", help="name<TAB>value parameter file "
                                     "(reference -params / FromTsv)")
     p.add_argument("--paramstr", help="AA:0.4_Conf:0.2_... parameter "
@@ -759,6 +859,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global", dest="global_aln", action="store_true",
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
+
+    p = sub.add_parser("align-bags",
+                       help="MKF-vs-full-SW self-check (reference "
+                            "-align_bags); prints PROBLEM rows")
+    p.add_argument("input")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_align_bags)
 
     p = sub.add_parser("pdb2ss", help="print secondary structure strings")
     p.add_argument("input")
@@ -906,20 +1013,41 @@ def _reference_style(argv: List[str]) -> List[str]:
             "scop40bench", "prefilter-mu", "distmx", "shuffle", "split",
             "convert2mu", "gunzip", "cif2pdb", "prepare-query", "lddt-msa",
             "daliscore-msa", "train-features", "fit-gumbel", "calibrate",
-            "chains2pdbs", "getchains", "bca-stats"}
+            "chains2pdbs", "getchains", "bca-stats", "align-bags"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")
     if head not in cmds:
         return argv
+    # only rewrite tokens naming a KNOWN option of this subcommand, so
+    # option VALUES that begin with '-' (e.g. `-label -foo`, `-evalue -.5`)
+    # pass through untouched
+    known = _known_options(head)
     out = [head]
     for a in argv[1:]:
+        name = a[1:].replace("_", "-") if a.startswith("-") else ""
         if (a.startswith("-") and not a.startswith("--") and len(a) > 2
-                and not a[1].isdigit()):
-            out.append("--" + a[1:].replace("_", "-"))
+                and name in known):
+            out.append("--" + name)
         else:
             out.append(a)
     return out
+
+
+def _known_options(head: str) -> set:
+    """Long-option names (without --) of subcommand `head`."""
+    ap = build_parser()
+    for act in ap._subparsers._group_actions:  # type: ignore[union-attr]
+        choices = getattr(act, "choices", None)
+        if not choices or head not in choices:
+            continue
+        opts = set()
+        for a in choices[head]._actions:
+            for s in a.option_strings:
+                if s.startswith("--"):
+                    opts.add(s[2:])
+        return opts
+    return set()
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -39,15 +39,19 @@ def _lib() -> Optional[ctypes.CDLL]:
         os.path.join(os.path.dirname(_SRC), "build"))
     so_path = os.path.join(cache_dir, "libdssenc.so")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
-            os.makedirs(cache_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O2", "-march=native", "-shared", "-fPIC",
-                 _SRC, "-o", so_path + ".tmp"],
-                check=True, capture_output=True)
-            os.replace(so_path + ".tmp", so_path)
-        lib = ctypes.CDLL(so_path)
+        # the lock guards compile-and-load only: two threads racing the
+        # first encode must not both run g++ against the same .tmp path
+        # (the lru_cache alone doesn't serialize concurrent first calls)
+        with _lock:
+            if (not os.path.exists(so_path)
+                    or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                os.makedirs(cache_dir, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-march=native", "-shared", "-fPIC",
+                     _SRC, "-o", so_path + ".tmp"],
+                    check=True, capture_output=True)
+                os.replace(so_path + ".tmp", so_path)
+            lib = ctypes.CDLL(so_path)
     except Exception:
         return None
     lib.dss_encode.restype = ctypes.c_int
@@ -82,13 +86,15 @@ def encode_features(chain: Chain) -> Optional[dict]:
     coords = np.ascontiguousarray(chain.coords, np.float32)
     out = np.zeros((len(ALL_FEATURES), max(L, 1)), np.uint8)
     cent, bins = _constants()
-    with _lock:
-        rc = lib.dss_encode(
-            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            chain.seq.encode("latin-1"), L,
-            cent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    # no lock: dss_encode uses only caller-owned buffers (its lazy AA
+    # tables are C++ magic-statics, thread-safe init), and ctypes drops
+    # the GIL for the call, so encodes run truly in parallel
+    rc = lib.dss_encode(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        chain.seq.encode("latin-1"), L,
+        cent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         return None
     return {name: out[i, :L].copy() for i, name in enumerate(ALL_FEATURES)}

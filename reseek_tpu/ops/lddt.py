@@ -1,10 +1,56 @@
 """LDDT over aligned columns, exact replica of GetLDDT_mu_fast
 (src/lddt.cpp:63-124): R0=15, thresholds {0.5, 1, 2, 4}, per-column
-preserved/considered counts, averaged over all columns."""
+preserved/considered counts, averaged over all columns.
+
+Two implementations with identical float32 semantics: a native C++ one
+(native/lddt.cpp, ~30x faster — the production host path, used for the
+device-LDDT boundary recompute and the MKF pipeline) and the numpy
+reference below (differential-test target, fallback)."""
 
 from __future__ import annotations
 
+import ctypes
+import functools
+import os
+import subprocess
+import threading
+from typing import Optional
+
 import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "lddt.cpp")
+_lock = threading.Lock()
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> Optional[ctypes.CDLL]:
+    if os.environ.get("RESEEK_NATIVE", "1") == "0":
+        return None
+    cache_dir = os.environ.get(
+        "RESEEK_NATIVE_CACHE",
+        os.path.join(os.path.dirname(_SRC), "build"))
+    so_path = os.path.join(cache_dir, "liblddt.so")
+    try:
+        with _lock:
+            if (not os.path.exists(so_path)
+                    or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                os.makedirs(cache_dir, exist_ok=True)
+                # -ffp-contract=off: only the EXPLICIT fmaf calls fuse,
+                # matching the reference's contracted d^2 and nothing else
+                subprocess.run(
+                    ["g++", "-O2", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", _SRC, "-o", so_path + ".tmp"],
+                    check=True, capture_output=True)
+                os.replace(so_path + ".tmp", so_path)
+            lib = ctypes.CDLL(so_path)
+    except Exception:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.lddt_pair.restype = ctypes.c_float
+    lib.lddt_pair.argtypes = [f32p, f32p, ctypes.c_int, i64p, i64p]
+    return lib
 
 R0 = np.float32(15.0)
 R0_SQ = R0 * R0
@@ -20,6 +66,26 @@ def lddt_mu_fast(coords_q: np.ndarray, coords_t: np.ndarray,
     each of 4 thresholds adds preserved if |d1-d2| <= t.  Column score =
     preserved/considered (f32), final = mean of column scores over ALL
     columns (src/lddt.cpp:110-123)."""
+    n = len(pos_q)
+    if n == 0:
+        return 0.0
+    lib = _lib()
+    if lib is not None:
+        cq = np.ascontiguousarray(coords_q[pos_q], np.float32)
+        ct = np.ascontiguousarray(coords_t[pos_t], np.float32)
+        cons = np.empty(n, np.int64)
+        pres = np.empty(n, np.int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        return float(lib.lddt_pair(
+            cq.ctypes.data_as(f32p), ct.ctypes.data_as(f32p), n,
+            cons.ctypes.data_as(i64p), pres.ctypes.data_as(i64p)))
+    return lddt_mu_fast_np(coords_q, coords_t, pos_q, pos_t)
+
+
+def lddt_mu_fast_np(coords_q: np.ndarray, coords_t: np.ndarray,
+                    pos_q: np.ndarray, pos_t: np.ndarray) -> float:
+    """Numpy reference implementation (see lddt_mu_fast)."""
     n = len(pos_q)
     if n == 0:
         return 0.0

@@ -71,11 +71,13 @@ def _interpret() -> bool:
 # diagnostic counter for tests
 def sw_score_sweep_auto(s: jnp.ndarray, open_: float, ext: float):
     """Pallas row-sweep on TPU, lax.scan elsewhere — identical values
-    (integer arithmetic is exact under any evaluation order)."""
+    (integer arithmetic is exact under any evaluation order).  The Pallas
+    kernel needs lane-aligned LB; other shapes use the scan."""
     import os
     impl = os.environ.get("RESEEK_SW", "auto")
-    if impl == "pallas" or (impl == "auto"
-                            and jax.default_backend() == "tpu"):
+    if s.shape[-1] % 128 == 0 and (
+            impl == "pallas" or (impl == "auto"
+                                 and jax.default_backend() == "tpu")):
         return sw_score_sweep_pallas(s, open_, ext)
     return sw_score_sweep(s, open_, ext)
 
@@ -247,8 +249,9 @@ def mu_filter_mask_sweep(mu_db: jnp.ndarray, mu_rev_db: jnp.ndarray,
     a = mu_db[idx_a][:, :la].astype(jnp.int32)
     ar = mu_rev_db[idx_a][:, :la].astype(jnp.int32)
     b = mu_db[idx_b][:, :lb].astype(jnp.int32)
-    fwd = sw_score_sweep(mu_smx_onehot(a, b, mumx_padded), open_, ext)
-    rev = sw_score_sweep(mu_smx_onehot(ar, b, mumx_padded), open_, ext)
+    fwd = sw_score_sweep_auto(mu_smx_onehot(a, b, mumx_padded), open_, ext)
+    rev = sw_score_sweep_auto(mu_smx_onehot(ar, b, mumx_padded),
+                              open_, ext)
     # parasail 8-bit saturation (align/pipeline.py MU_SAT_* notes):
     # saturated fwd -> 777, saturated rev -> 255
     fwd = jnp.where(fwd > np.float32(250.0), np.float32(777.0), fwd)
@@ -268,6 +271,7 @@ def mu_scores_sweep(mu_db: jnp.ndarray, mu_rev_db: jnp.ndarray,
     a = mu_db[idx_a][:, :la].astype(jnp.int32)
     ar = mu_rev_db[idx_a][:, :la].astype(jnp.int32)
     b = mu_db[idx_b][:, :lb].astype(jnp.int32)
-    fwd = sw_score_sweep(mu_smx_onehot(a, b, mumx_padded), open_, ext)
-    rev = sw_score_sweep(mu_smx_onehot(ar, b, mumx_padded), open_, ext)
+    fwd = sw_score_sweep_auto(mu_smx_onehot(a, b, mumx_padded), open_, ext)
+    rev = sw_score_sweep_auto(mu_smx_onehot(ar, b, mumx_padded),
+                              open_, ext)
     return fwd, rev

@@ -1,3 +1,4 @@
-from reseek_tpu.parallel.sharded import make_mesh, make_sharded_search_step
+from reseek_tpu.parallel.topk import (merge_topk_sharded,
+                                      sharded_prefilter_search)
 
-__all__ = ["make_mesh", "make_sharded_search_step"]
+__all__ = ["merge_topk_sharded", "sharded_prefilter_search"]

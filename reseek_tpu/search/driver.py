@@ -10,6 +10,7 @@ length-bucketed batches.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 from typing import Iterable, List, Optional, TextIO
 
@@ -270,6 +271,7 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
     """Batched all-vs-all on the sorted-DB rectangular device pipeline
     (engine.DeviceSelfSearch); long-chain (MKF-routed) pairs run on the
     host path for reference parity."""
+    import math
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -279,8 +281,8 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
     configure_jax()
     ecs = _encode_all(chains, params, with_self_rev=False)
     have_selfrev = all(ec.self_rev_score != _FLT_MAX for ec in ecs)
-    pipe = DeviceSelfSearch(ecs, params,
-                            with_rev_profiles=not have_selfrev, mesh=mesh)
+    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=False,
+                            mesh=mesh)
 
     drv = SearchDriver(params, options, out)
     n = len(ecs)
@@ -303,24 +305,28 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
                 long_pairs.append((a, b))
     pool = ThreadPoolExecutor(max_workers=min(32, (os.cpu_count() or 4)))
     try:
+        sr_futs = {}
         if not have_selfrev:
-            # self-rev: device for short chains (dispatched async above
-            # via stage2), host MKF quirk path for long ones (threaded)
-            sr_futs = {j: pool.submit(self_rev_score, ecs[j], params)
-                       for j in long_set}
-            srs = pipe.self_rev_scores_device()
-            for ec, s in zip(ecs, srs):
-                if len(ec) < params.mkfl:
-                    ec.self_rev_score = float(s)
-            for j, f in sr_futs.items():
-                ecs[j].self_rev_score = f.result()
+            # self-rev on the host thread pool (native exact SW kernel,
+            # ops/sw_native.py; long chains take the MKF quirk path inside
+            # self_rev_score) — bit-exact everywhere, no device compile,
+            # overlapped with the device stage-1 filter below
+            sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
+                       for i, ec in enumerate(ecs)
+                       if ec.self_rev_score == _FLT_MAX}
+        survivors = pipe.stage1_survivors()
+        for i, f in sr_futs.items():
+            ecs[i].self_rev_score = f.result()
         # all self-rev scores are now known -> long-pair alignments can
         # finish (TS needs both chains' self-rev); they overlap with the
-        # device stage-1 filter and stage-3 survivor alignment below
+        # stage-3 survivor alignment below
         mkf_futs = [(a, b, pool.submit(drv.aligner.align, ecs[a], ecs[b]))
                     for a, b in long_pairs]
-        survivors = pipe.stage1_survivors()
-        by_pair = pipe.align_survivors(survivors)
+        # with the E-gate off, rows without E-values are emitted, so
+        # sub-MinFwdScore pairs still need their paths (no prepass)
+        need_all = (options.scores_are_not_evalues
+                    or math.isinf(options.max_evalue))
+        by_pair = pipe.align_survivors(survivors, need_all_paths=need_all)
         for a, b, f in mkf_futs:
             res = f.result()
             if res is not None and res.path:
@@ -349,19 +355,26 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
 
 def query_search(queries: Iterable[Chain], db_chains: List[Chain],
                  params: DSSParams, options: SearchOptions,
-                 out: TextIO, engine: str = "auto") -> SearchDriver:
+                 out: TextIO, engine: str = "auto",
+                 mesh=None) -> SearchDriver:
     """Query-vs-DB in-memory scan (src/runquery.cpp, note the role
     inversion: each streamed chain becomes the 'A' side, the loaded set is
     scanned as targets, output orientation flipped back).
 
     engine="device" batches the whole rectangle through the TPU engine
     (Mu filter + SW + LDDT staged like the self search); long (MKF-routed)
-    pairs run on the host thread pool concurrently."""
+    pairs run on the host thread pool concurrently.  mesh shards the
+    stage-2/3 pair batches over its devices (bit-equal output)."""
     if engine == "auto":
-        engine = "device" if _tpu_available() else "host"
+        engine = "device" if (_tpu_available() or mesh is not None) \
+            else "host"
+    if mesh is not None and engine != "device":
+        import warnings
+        warnings.warn("query_search: mesh is ignored on the host path; "
+                      "running single-device", stacklevel=2)
     if engine == "device":
         return _query_search_device(list(queries), db_chains, params,
-                                    options, out)
+                                    options, out, mesh=mesh)
     # role inversion (src/search.cpp:39-60 + src/runquery.cpp:31-79): the
     # QUERY file is loaded in memory, the -db file is streamed as the
     # DSSAligner 'A' side, and output orientation is flipped back
@@ -385,26 +398,25 @@ def query_search(queries: Iterable[Chain], db_chains: List[Chain],
 
 def _query_search_device(queries: List[Chain], db_chains: List[Chain],
                          params: DSSParams, options: SearchOptions,
-                         out: TextIO) -> SearchDriver:
-    """Query-vs-DB on the batched device engine: one DeviceDB over
-    queries + targets, rectangular pair set staged through the Mu filter,
-    SW and fused traceback+LDDT kernels; long pairs on the host MKF
-    thread pool, overlapped with device compute."""
+                         out: TextIO, mesh=None) -> SearchDriver:
+    """Query-vs-DB on the batched device engine: one sorted rectangular
+    pipeline over queries + targets, pair set staged through the Mu
+    filter, score and fused traceback+LDDT kernels; long pairs on the
+    host MKF thread pool, overlapped with device compute."""
+    import math
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
     from reseek_tpu.align.pipeline import self_rev_score
-    from reseek_tpu.search.engine import (BatchedEngine, DeviceDB,
-                                          configure_jax)
+    from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
     q_ecs = _encode_all(queries, params, with_self_rev=False)
     t_ecs = _encode_all(db_chains, params, with_self_rev=False)
     ecs = q_ecs + t_ecs
     nq, nt = len(q_ecs), len(t_ecs)
-    need_selfrev = [ec for ec in ecs if ec.self_rev_score == _FLT_MAX]
-    db = DeviceDB(ecs, params, with_rev_profiles=bool(need_selfrev))
-    eng = BatchedEngine(db)
+    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=False,
+                            mesh=mesh)
 
     drv = SearchDriver(params, options, out)
     drv.query_count = nt
@@ -414,18 +426,11 @@ def _query_search_device(queries: List[Chain], db_chains: List[Chain],
     lens = np.array([len(ec) for ec in ecs])
     pool = ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 4)))
     try:
-        if need_selfrev:
-            long_idx = [i for i, ec in enumerate(ecs)
-                        if len(ec) >= params.mkfl
-                        and ec.self_rev_score == _FLT_MAX]
-            sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
-                       for i in long_idx}
-            srs = eng.self_rev_scores()
-            for i, ec in enumerate(ecs):
-                if len(ec) < params.mkfl and ec.self_rev_score == _FLT_MAX:
-                    ec.self_rev_score = float(srs[i])
-            for i, f in sr_futs.items():
-                ecs[i].self_rev_score = f.result()
+        # self-rev on the host thread pool (native exact SW), overlapped
+        # with the device Mu filter below
+        sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
+                   for i, ec in enumerate(ecs)
+                   if ec.self_rev_score == _FLT_MAX}
 
         # pair rectangle with the role inversion of src/runquery.cpp:
         # A side = db chain (index nq+ti in the combined list), B = query
@@ -434,19 +439,24 @@ def _query_search_device(queries: List[Chain], db_chains: List[Chain],
         is_long = (lens[pairs[:, 0]] >= params.mkfl) \
             | (lens[pairs[:, 1]] >= params.mkfl)
         long_pairs = pairs[is_long]
+        dev_pairs = pairs[~is_long]
+
+        if params.omega > 0 and len(dev_pairs):
+            mu = pipe.stage1_scores(dev_pairs)
+            dev_pairs = dev_pairs[mu >= params.omega]
+
+        for i, f in sr_futs.items():
+            ecs[i].self_rev_score = f.result()
         mkf_futs = [(int(a) - nq, int(b),
                      pool.submit(drv.aligner.align, ecs[a], ecs[b]))
                     for a, b in long_pairs]
-        pairs = pairs[~is_long]
 
-        if params.omega > 0 and len(pairs):
-            mu = eng.mu_filter_scores(pairs)
-            pairs = pairs[mu >= params.omega]
-        results = eng.full_alignments(pairs) if len(pairs) else []
-        by_pair = {}
-        for pr, r in zip(pairs, results):
-            if r is not None and r.path:
-                by_pair[(int(pr[0]) - nq, int(pr[1]))] = r
+        need_all = (options.scores_are_not_evalues
+                    or math.isinf(options.max_evalue))
+        dev_results = pipe.align_survivors(dev_pairs,
+                                           need_all_paths=need_all)
+        by_pair = {(a - nq, b): r for (a, b), r in dev_results.items()
+                   if r.path}
         for t_i, q_i, f in mkf_futs:
             res = f.result()
             if res is not None and res.path:
@@ -466,23 +476,34 @@ def _query_search_device(queries: List[Chain], db_chains: List[Chain],
 
 def fast_search(queries: List[Chain], db, params: DSSParams,
                 options: SearchOptions, out: TextIO,
-                dbmu: Optional[str] = None) -> SearchDriver:
+                dbmu: Optional[str] = None,
+                engine: str = "auto", mesh=None,
+                prefilter_mode: Optional[str] = None) -> SearchDriver:
     """Big-DB prefilter pipeline (-fast -db, src/search.cpp:62-112):
     (1) Mu k-mer two-hit prefilter streams the whole DB and keeps the
     top-1500 targets per query; (2) only surviving targets are re-read
     (random access for .bca) and aligned with SENSITIVE parameters
     (PostMuFilter, src/postmufilter.cpp:116-208; one output row per hit).
 
-    `db` is a path (streamed; memory stays proportional to the query set)
-    or an in-memory chain list.  `dbmu` names a Mu-letter FASTA of the DB
-    so stage 1 skips DB encoding entirely (reference -dbmu,
-    src/search.cpp:96-99)."""
+    `db` is a path (streamed; memory stays proportional to the query set
+    plus the survivor set) or an in-memory chain list.  `dbmu` names a
+    Mu-letter FASTA of the DB so stage 1 skips DB encoding entirely
+    (reference -dbmu, src/search.cpp:96-99).
+
+    engine="device" routes the stage-2 alignment of survivors through
+    the batched TPU pipeline (threaded target encode, device self-rev +
+    Mu filter + fused SW/LDDT; host MKF thread pool for long pairs) —
+    the device analog of PostMuFilter's parallel ChainBag scan.  "host"
+    keeps the serial per-pair loop.  Output rows are identical."""
     from reseek_tpu.constants import DSSParams as _P
     from reseek_tpu.encoder.dss import encode_chain
     from reseek_tpu.search.prefilter import prefilter_search
 
-    q_mu = [c.mu_letters if isinstance(c, EncodedChain)
-            else encode_chain(c).mu_letters for c in queries]
+    sens = _P.create("sensitive")
+    # encode queries ONCE with sensitive params (Mu letters are
+    # param-independent, so the prefilter reuses these encodes)
+    q_ecs = _encode_all(queries, sens, with_self_rev=False)
+    q_mu = [ec.mu_letters for ec in q_ecs]
 
     db_is_path = isinstance(db, str)
     n_targets = 0
@@ -509,45 +530,93 @@ def fast_search(queries: List[Chain], db, params: DSSParams,
                 yield i, (c.mu_letters if isinstance(c, EncodedChain)
                           else encode_chain(c).mu_letters)
 
-    pf = prefilter_search(q_mu, target_mu_stream())
+    pf = prefilter_search(q_mu, target_mu_stream(), mode=prefilter_mode)
 
-    sens = _P.create("sensitive")
-    q_ecs = _encode_all(queries, sens, with_self_rev=True)
     drv = SearchDriver(sens, options, out)
     drv.query_count = len(q_ecs)
     t2q = pf.target_to_queries()
+    tidxs = sorted(t2q)
 
-    if db_is_path and db.lower().endswith(".bca"):
-        # survivors re-read by index, like PostMuFilter's
-        # BCAData::ReadChain (src/postmufilter.cpp:164)
-        from reseek_tpu.io.bca import BCAReader
-        with BCAReader(db) as r:
-            for tidx in sorted(t2q):
-                t_ec = encode_for_search(r.read_chain(tidx), sens)
-                _fast_align_emit(drv, q_ecs, t_ec, t2q[tidx])
-    elif db_is_path:
-        # formats without random access: one more sequential pass over
-        # the file, aligning targets as they stream by
-        from reseek_tpu.io.reader import iter_chains
-        idx = 0
-        for c in iter_chains(db):
-            if len(c) == 0:
-                continue
-            if idx in t2q:
-                t_ec = encode_for_search(c, sens)
-                _fast_align_emit(drv, q_ecs, t_ec, t2q[idx])
-            idx += 1
+    # survivor chains, in ascending target-index order
+    def survivor_chains():
+        if db_is_path and db.lower().endswith(".bca"):
+            # re-read by index, like PostMuFilter's BCAData::ReadChain
+            # (src/postmufilter.cpp:164)
+            from reseek_tpu.io.bca import BCAReader
+            with BCAReader(db) as r:
+                for tidx in tidxs:
+                    yield tidx, r.read_chain(tidx)
+        elif db_is_path:
+            # formats without random access: one more sequential pass
+            from reseek_tpu.io.reader import iter_chains
+            idx = 0
+            want = set(tidxs)
+            for c in iter_chains(db):
+                if len(c) == 0:
+                    continue
+                if idx in want:
+                    yield idx, c
+                idx += 1
+        else:
+            for tidx in tidxs:
+                yield tidx, db[tidx]
+
+    n_cand = sum(len(v) for v in t2q.values())
+    if engine == "auto":
+        # the device engine pays per-process warmup (kernel loads through
+        # the runtime); small candidate sets finish faster on the native
+        # host path (PostMuFilter-style parallel scan below)
+        min_dev = int(os.environ.get("RESEEK_FAST_DEVICE_MIN", "20000"))
+        use_dev = (_tpu_available() or mesh is not None) \
+            and n_cand >= min_dev
+        engine = "device" if use_dev else "host"
+    if engine == "device":
+        _fast_align_device(drv, q_ecs, survivor_chains(), t2q, sens,
+                           options, mesh=mesh)
     else:
-        for tidx in sorted(t2q):
-            c = db[tidx]
-            t_ec = (c if isinstance(c, EncodedChain)
-                    else encode_for_search(c, sens))
-            if t_ec.self_rev_score == _FLT_MAX:
-                from reseek_tpu.align.pipeline import self_rev_score
-                t_ec.self_rev_score = self_rev_score(t_ec, sens)
-            _fast_align_emit(drv, q_ecs, t_ec, t2q[tidx])
+        _fast_align_host(drv, q_ecs, survivor_chains(), t2q, sens)
     drv.processed_pairs = len(q_ecs) * n_targets
     return drv
+
+
+def _fast_align_host(drv: SearchDriver, q_ecs: List[EncodedChain],
+                     survivor_iter, t2q, sens: DSSParams) -> None:
+    """Stage 2 on the native host kernels, parallel over targets like the
+    reference's PostMuFilter ChainBag scan (src/postmufilter.cpp:116-208):
+    each worker encodes its target, computes its self-rev and aligns it
+    against the listed queries (native SW/MKF/LDDT release the GIL);
+    emission stays in ascending-target order."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from reseek_tpu.align.pipeline import PairAligner, self_rev_score
+
+    for ec in q_ecs:
+        if ec.self_rev_score == _FLT_MAX:
+            ec.self_rev_score = self_rev_score(ec, sens)
+
+    def process(item):
+        tidx, c = item
+        t_ec = (c if isinstance(c, EncodedChain)
+                else encode_for_search(c, sens))
+        if t_ec.self_rev_score == _FLT_MAX:
+            t_ec.self_rev_score = self_rev_score(t_ec, sens)
+        pa = PairAligner(sens)  # per-task: no shared-counter races
+        rows = []
+        for qi in t2q[tidx]:
+            res = pa.align(q_ecs[qi], t_ec)
+            if res is not None and res.path:
+                rows.append((qi, res))
+        return t_ec, rows, pa
+
+    n_workers = min(32, (os.cpu_count() or 2))
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        for t_ec, rows, pa in pool.map(process, survivor_iter):
+            drv.aligner.n_aligned += pa.n_aligned
+            drv.aligner.n_mu_input += pa.n_mu_input
+            drv.aligner.n_mu_discarded += pa.n_mu_discarded
+            for qi, res in rows:
+                drv.emit(res, q_ecs[qi], t_ec, True)
 
 
 def _fast_align_emit(drv: SearchDriver, q_ecs: List[EncodedChain],
@@ -557,3 +626,87 @@ def _fast_align_emit(drv: SearchDriver, q_ecs: List[EncodedChain],
         if res is None or not res.path:
             continue
         drv.emit(res, q_ecs[qi], t_ec, True)
+
+
+def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
+                       survivor_iter, t2q, sens: DSSParams,
+                       options: SearchOptions, mesh=None) -> None:
+    """Stage 2 of the fast pipeline on the batched device engine
+    (PostMuFilter's parallel ChainBag scan, src/postmufilter.cpp:116-208,
+    re-cast as device batches): one combined DeviceSelfSearch over
+    queries + surviving targets; per-(target, query) candidate pairs run
+    Mu filter -> fused SW/LDDT on device; long (MKF-routed) pairs on the
+    host thread pool.  Emission order matches the host path: per target
+    ascending, its listed queries in order, up=True rows."""
+    import math
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    from reseek_tpu.align.pipeline import self_rev_score
+    from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
+    configure_jax()
+
+    pairs_list = [(tidx, c) for tidx, c in survivor_iter]
+    t_ecs = _encode_all([c for _, c in pairs_list], sens,
+                        with_self_rev=False)
+    t_order = [tidx for tidx, _ in pairs_list]
+    tpos = {tidx: k for k, tidx in enumerate(t_order)}
+
+    ecs = list(q_ecs) + list(t_ecs)
+    nq = len(q_ecs)
+    pipe = DeviceSelfSearch(ecs, sens, with_rev_profiles=False, mesh=mesh)
+    lens = np.array([len(ec) for ec in ecs])
+
+    # candidate pairs (query side = A, reference orientation of
+    # PostMuFilter's AlignBags)
+    pairs = np.array([(qi, nq + tpos[tidx])
+                      for tidx in t_order for qi in t2q[tidx]],
+                     np.int64).reshape(-1, 2)
+    is_long = ((lens[pairs[:, 0]] >= sens.mkfl)
+               | (lens[pairs[:, 1]] >= sens.mkfl))
+
+    pool = ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 4)))
+    try:
+        # self-rev on the host thread pool (native exact SW), overlapped
+        # with the device Mu filter below
+        sr_futs = {i: pool.submit(self_rev_score, ecs[i], sens)
+                   for i, ec in enumerate(ecs)
+                   if ec.self_rev_score == _FLT_MAX}
+
+        # device Mu filter on short pairs (overlaps the self-rev work)
+        dev_pairs = pairs[~is_long]
+        mu_vals = {}
+        if sens.omega > 0 and len(dev_pairs):
+            mu = pipe.stage1_scores(dev_pairs)
+            if "muscore" in options.columns:
+                mu_vals = {(int(a), int(b)): float(v)
+                           for (a, b), v in zip(dev_pairs, mu)}
+            dev_pairs = dev_pairs[mu >= sens.omega]
+
+        for i, f in sr_futs.items():
+            ecs[i].self_rev_score = f.result()
+
+        mkf_futs = [(int(a), int(b),
+                     pool.submit(drv.aligner.align, ecs[a], ecs[b]))
+                    for a, b in pairs[is_long]]
+        need_all = (options.scores_are_not_evalues
+                    or math.isinf(options.max_evalue))
+        by_pair = pipe.align_survivors(dev_pairs,
+                                       need_all_paths=need_all)
+        for a, b, f in mkf_futs:
+            res = f.result()
+            if res is not None and res.path:
+                by_pair[(a, b)] = res
+        for key, v in mu_vals.items():
+            if key in by_pair:
+                by_pair[key].mu_score = v
+    finally:
+        pool.shutdown(wait=True)
+
+    for tidx in t_order:
+        t_ec = t_ecs[tpos[tidx]]
+        for qi in t2q[tidx]:
+            res = by_pair.get((qi, nq + tpos[tidx]))
+            if res is not None and res.path:
+                drv.emit(res, q_ecs[qi], t_ec, True)

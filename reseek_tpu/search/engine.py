@@ -457,8 +457,18 @@ def finish_result(res: AlignResult, q: EncodedChain, t: EncodedChain,
 #     order (src/dssaligner.cpp:852-904)
 # ---------------------------------------------------------------------------
 
-STAGE1_CELLS = 1 << 28   # cells (fwd+rev counted separately) per sub-chunk
-STAGE3_CELLS = 1 << 26   # traceback DP cells per chunk (tb tensor + LDDT)
+# Cell budgets sizing the per-launch device batches.  Env-overridable so
+# smaller-HBM devices (or the CPU backend) can shrink peak memory: the
+# dominant transient is the [B, L, L] f32 substitution tensor plus its
+# skewed copy, ~8 bytes/cell.
+STAGE1_CELLS = int(os.environ.get("RESEEK_STAGE1_CELLS", str(1 << 28)))
+STAGE2_CELLS = int(os.environ.get("RESEEK_STAGE2_CELLS", str(1 << 27)))
+STAGE3_CELLS = int(os.environ.get("RESEEK_STAGE3_CELLS", str(1 << 26)))
+# Stage 2 (score-only prepass) uses the row-sweep kernel, whose float
+# summation order differs from the reference wavefront by at most ~1e-3
+# on real profiles; the guard band keeps every pair that could exactly
+# pass MinFwdScore in stage 3, where the bit-exact kernel re-gates.
+STAGE2_GUARD = np.float32(0.5)
 EDGE_SET = (128, 256, 512, 1024, 2048, 4096, 8192)
 MU_SAT_LIMIT = 250.0      # parasail 8-bit: saturated iff score > 250
 MU_SAT_SCORE = 777.0      # forced FWD score on saturation
@@ -484,6 +494,33 @@ def _edges_for(params: DSSParams, lmax: int) -> Tuple[int, ...]:
         if e >= lmax:
             break
     return tuple(out)
+
+
+def _batch_shape(n: int, le: int, cells: int, multiple: int = 1) -> int:
+    """Per-launch batch size: the cell budget capped, but no larger than
+    the next power of two >= n (so small jobs don't pad to huge compiled
+    shapes; shape count per edge stays O(log))."""
+    cap = max(8, cells // (le * le))
+    p = 8
+    while p < n:
+        p *= 2
+    bs = min(cap, p)
+    return -(-bs // multiple) * multiple
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions; replication checking off (jax 0.9's
+    check_vma rejects pallas_call out_shapes inside shard_map)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
 
 
 def _packbits_device(mask):
@@ -565,17 +602,13 @@ def _stage1_block_fn_sharded(mesh, axis: str, le: int, ca: int,
     arrays are replicated.  Returns bits [n_dev, ca*cb//8]."""
     import jax
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
     body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
 
     def local(mu, mu_rev, mumx, a0v, b0v, a1, b1):
         return body(mu, mu_rev, mumx, a0v[0], b0v[0], a1[0], b1[0])[None]
 
-    sm = shard_map(
-        local, mesh=mesh,
+    sm = shard_map_compat(
+        local, mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis))
     return jax.jit(sm)
@@ -590,14 +623,10 @@ def _stage3_fn_sharded(mesh, axis: str, le: int, pad_code: int,
     (SURVEY §2.8 — on-chip batch parallelism over the mesh)."""
     import jax
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
     body = _stage3_body(le, le, pad_code, open_, ext, use_pallas)
 
-    sm = shard_map(
-        body, mesh=mesh,
+    sm = shard_map_compat(
+        body, mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis)))
     return jax.jit(sm)
@@ -698,6 +727,91 @@ def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
     return run
 
 
+def _stage2_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
+                 use_pallas: bool):
+    """Score-only full-profile SW prepass (two-phase stage 3, SURVEY §7
+    "score-only everywhere + re-run traceback only for accepted hits").
+
+    Uses the row-sweep kernel (ops/sw_sweep.py): LA sequential steps with
+    every lane useful, vs LA+LB-1 wavefront steps at <=50% utilization.
+    Its float order differs from the reference by <~1e-3; callers gate
+    with STAGE2_GUARD and let the bit-exact stage-3 kernel re-gate."""
+    import jax
+    import jax.numpy as jnp
+    if use_pallas:
+        from reseek_tpu.ops.sw_sweep import sw_score_sweep_pallas as swf
+    else:
+        from reseek_tpu.ops.sw_sweep import sw_score_sweep as swf
+
+    o = np.float32(open_)
+    e = np.float32(ext)
+
+    def codes_slice(prof_db, idx, offsets, bucket):
+        p = prof_db[idx][:, :, :bucket].astype(jnp.int32)
+        return jnp.where(p == PAD_BYTE, pad_code,
+                         p + offsets[None, :, None])
+
+    def smx(ca_, cb_, w):
+        d = w.shape[0]
+
+        def multihot(codes):
+            out = jax.nn.one_hot(codes[:, 0], d, dtype=jnp.float32)
+            for f in range(1, codes.shape[1]):
+                out = out + jax.nn.one_hot(codes[:, f], d, dtype=jnp.float32)
+            return out
+
+        emb = jax.lax.dot_general(
+            multihot(ca_), w, dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dot_general(
+            emb, multihot(cb_), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+
+    def run(prof_a_db, prof_b_db, idx_a, idx_b, w, offsets):
+        ca_ = codes_slice(prof_a_db, idx_a, offsets, la)
+        cb_ = codes_slice(prof_b_db, idx_b, offsets, lb)
+        return swf(smx(ca_, cb_, w), o, e)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _stage2_fn(le: int, pad_code: int, open_: float, ext: float,
+               use_pallas: bool):
+    import jax
+    return jax.jit(_stage2_body(le, le, pad_code, open_, ext, use_pallas))
+
+
+@functools.lru_cache(maxsize=None)
+def _stage2_fn_sharded(mesh, axis: str, le: int, pad_code: int,
+                       open_: float, ext: float, use_pallas: bool):
+    """Data-parallel stage-2 scores: pair batch sharded on `axis`, DB
+    replicated; bit-equal to single-device."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    body = _stage2_body(le, le, pad_code, open_, ext, use_pallas)
+
+    sm = shard_map_compat(
+        body, mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=P(axis))
+    return jax.jit(sm)
+
+
+def _exact_fwd_score(params: DSSParams, prof_a: np.ndarray,
+                     prof_b: np.ndarray) -> float:
+    """Bit-exact full-profile SW score on the host (native kernel,
+    numpy replica fallback) — the boundary-case recompute path."""
+    from reseek_tpu.ops.sw_native import sw_score_profile_native
+    v = sw_score_profile_native(params, prof_a, prof_b)
+    if v is not None:
+        return v
+    from reseek_tpu.ops.substmx import build_smx
+    from reseek_tpu.ops.sw_np import sw_score
+    return sw_score(build_smx(params, prof_a, prof_b),
+                    params.gap_open, params.gap_ext)
+
+
 def _vector_stats(fwd: np.ndarray, lddt: np.ndarray, sa: np.ndarray,
                   sb: np.ndarray, la: np.ndarray, lb: np.ndarray
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -787,25 +901,41 @@ class DeviceSelfSearch:
         self.mu_rev = jnp.asarray(mu_rev)
         self.coords = jnp.asarray(coords)
         self.prof_rev = None
-        if with_rev_profiles:
-            from concurrent.futures import ThreadPoolExecutor
-            prof_rev = np.full((n, nf, L), PAD_BYTE, np.uint8)
-
-            def rev_one(s_oi):
-                s, oi = s_oi
-                ec = ecs[oi]
-                if len(ec) >= params.mkfl:
-                    return  # long chains take the host MKF selfrev path
-                ln = min(len(ec), L)
-                rp = encode_chain(ec.chain.reversed()).profile(params)
-                prof_rev[s, :, :ln] = rp[:, :ln]
-
-            with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as tp:
-                list(tp.map(rev_one, enumerate(self.order)))
-            self.prof_rev = jnp.asarray(prof_rev)
         # sorted index of each original index
         self.sorted_of = np.empty(n, np.int64)
         self.sorted_of[self.order] = np.arange(n)
+        if with_rev_profiles:
+            self.build_rev_profiles()
+
+    def build_rev_profiles(self) -> None:
+        """Encode + upload reversed-chain profiles (for self-rev scores).
+        Separate from __init__ so drivers can run it concurrently with
+        the stage-1 filter (the encode is CPU work; device upload is
+        cheap)."""
+        import jax.numpy as jnp
+        from concurrent.futures import ThreadPoolExecutor
+
+        from reseek_tpu.encoder.dss import encode_chain
+        if self.prof_rev is not None:
+            return
+        params = self.params
+        n = len(self.ecs)
+        nf = len(params.features)
+        L = self.lmaxp
+        prof_rev = np.full((n, nf, L), PAD_BYTE, np.uint8)
+
+        def rev_one(s_oi):
+            s, oi = s_oi
+            ec = self.ecs[oi]
+            if len(ec) >= params.mkfl:
+                return  # long chains take the host MKF selfrev path
+            ln = min(len(ec), L)
+            rp = encode_chain(ec.chain.reversed()).profile(params)
+            prof_rev[s, :, :ln] = rp[:, :ln]
+
+        with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as tp:
+            list(tp.map(rev_one, enumerate(self.order)))
+        self.prof_rev = jnp.asarray(prof_rev)
 
     def _device_ranges(self):
         """(bucket_index, s0, s1) for each bucket's device-eligible
@@ -820,26 +950,132 @@ class DeviceSelfSearch:
                 out.append((bi, s0, s1))
         return out
 
+    # -- stage 1 on explicit pairs: Mu filter values ---------------------
+    def stage1_scores(self, pairs_orig: np.ndarray) -> np.ndarray:
+        """Mu filter value per (i, j) original-index pair: 0 if
+        fwd < OmegaFwd else fwd - rev, with parasail saturation semantics
+        (src/parasail_mu.cpp:120-161).  Integer-exact (matches the host
+        mu_filter_score bit-for-bit).  Used by drivers that bring their
+        own pair lists (query-vs-DB, fast-pipeline stage 2) instead of
+        the all-vs-all block enumeration of stage1_survivors."""
+        import jax
+        import jax.numpy as jnp
+        from reseek_tpu.ops.sw_sweep import mu_scores_sweep
+        p = self.params
+        out = np.zeros(len(pairs_orig), np.float32)
+        if len(pairs_orig) == 0:
+            return out
+        o, e = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
+        edges = np.asarray(self.edges)
+        be = edges[np.minimum(
+            np.searchsorted(edges, np.maximum(self.lens[pairs_orig[:, 0]],
+                                              self.lens[pairs_orig[:, 1]])),
+            len(edges) - 1)]
+        jobs = []
+        for le in sorted({int(x) for x in be}):
+            rows = np.flatnonzero(be == le)
+            bs = _batch_shape(len(rows), le, STAGE1_CELLS // 2)
+            for kk in range(0, len(rows), bs):
+                rr = rows[kk: kk + bs]
+                chunk = pairs_orig[rr]
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+                idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
+                idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
+                fwd, rev = mu_scores_sweep(
+                    self.mu, self.mu_rev, idx_a, idx_b, self.mumx,
+                    le, le, o, e)
+                jobs.append((fwd, rev, rr, n))
+        fetched = jax.device_get([(f, r) for f, r, _, _ in jobs])
+        for (fwd, rev), (_, _, rr, n) in zip(fetched, jobs):
+            fwd = fwd[:n].copy()
+            rev = rev[:n].copy()
+            fwd[fwd > MU_SAT_LIMIT] = MU_SAT_SCORE
+            rev[rev > MU_SAT_LIMIT] = MU_SAT_REV_SCORE
+            val = fwd - rev
+            val[fwd < np.float32(self.params.omega_fwd)] = 0.0
+            out[rr] = val
+        return out
+
+    # -- stage 2: score-only full-profile SW -----------------------------
+    def stage2_scores(self, pairs_orig: np.ndarray,
+                      b_side_rev: bool = False,
+                      exact: bool = False) -> np.ndarray:
+        """Full-profile SW scores for (i, j) original-index pairs.
+
+        Default path is the fast row-sweep kernel (float order differs
+        from the reference by <~1e-3 — use with STAGE2_GUARD when gating);
+        exact=True runs the bit-exact wavefront score kernel instead
+        (needed when the score itself is reported, e.g. self-rev).
+        b_side_rev scores against the reversed-chain profiles."""
+        import jax
+        import jax.numpy as jnp
+        p = self.params
+        out = np.zeros(len(pairs_orig), np.float32)
+        if len(pairs_orig) == 0:
+            return out
+        prof_b = self.prof_rev if b_side_rev else self.prof
+        use_pallas = _use_pallas()
+        edges = np.asarray(self.edges)
+        be = edges[np.minimum(
+            np.searchsorted(edges, np.maximum(self.lens[pairs_orig[:, 0]],
+                                              self.lens[pairs_orig[:, 1]])),
+            len(edges) - 1)]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        k = _kernels() if exact else None
+        jobs = []
+        for le in sorted({int(x) for x in be}):
+            rows = np.flatnonzero(be == le)
+            bs = _batch_shape(
+                len(rows), le, STAGE2_CELLS,
+                n_dev if (self.mesh is not None and not exact) else 1)
+            if self.mesh is not None and not exact:
+                fn = _stage2_fn_sharded(
+                    self.mesh, self.mesh_axis, le, self.pad_code,
+                    float(p.gap_open), float(p.gap_ext), use_pallas)
+            elif not exact:
+                fn = _stage2_fn(le, self.pad_code, float(p.gap_open),
+                                float(p.gap_ext), use_pallas)
+            for kk in range(0, len(rows), bs):
+                rr = rows[kk: kk + bs]
+                chunk = pairs_orig[rr]
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+                idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
+                idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
+                if exact:
+                    r = k["stage2_full"](
+                        self.prof, prof_b, idx_a, idx_b, self.w,
+                        self.offsets, self.pad_code, le,
+                        float(p.gap_open), float(p.gap_ext))
+                else:
+                    r = fn(self.prof, prof_b, idx_a, idx_b,
+                           self.w, self.offsets)
+                jobs.append((r, rr, n))
+        fetched = jax.device_get([r for r, _, _ in jobs])
+        for sc, (_, rr, n) in zip(fetched, jobs):
+            out[rr] = sc[:n]
+        return out
+
     # -- self-reversal scores (src/alignpair.cpp:7-25), device part ------
     def self_rev_scores_device(self) -> np.ndarray:
         """Scores for chains below mkfl (others: host MKF quirk path);
-        returns array indexed by ORIGINAL chain index (NaN where host)."""
-        import jax.numpy as jnp
-        p = self.params
-        k = _kernels()
+        returns array indexed by ORIGINAL chain index (NaN where host).
+        Runs on the bit-exact stage-2 kernel over the same fixed batch
+        shapes as the pair stages (one compiled shape family)."""
         out = np.full(len(self.ecs), np.nan, np.float32)
-        jobs = []
+        idx = []
         for bi, s0, s1 in self._device_ranges():
-            e = self.edges[bi]
-            idx = jnp.arange(s0, s1)
-            sc = k["stage2_full"](
-                self.prof, self.prof_rev, idx, idx, self.w, self.offsets,
-                self.pad_code, e, float(p.gap_open), float(p.gap_ext))
-            jobs.append((s0, s1, sc))
-        import jax
-        fetched = jax.device_get([sc for _, _, sc in jobs])
-        for (s0, s1, _), sc in zip(jobs, fetched):
-            out[self.order[s0:s1]] = sc
+            idx.extend(self.order[s0:s1].tolist())
+        if not idx:
+            return out
+        pairs = np.stack([np.asarray(idx)] * 2, axis=1)
+        out[np.asarray(idx)] = self.stage2_scores(pairs, b_side_rev=True,
+                                                  exact=True)
         return out
 
     # -- stage 1: Mu filter bits over all device pairs -------------------
@@ -934,14 +1170,32 @@ class DeviceSelfSearch:
         return out[np.lexsort((out[:, 1], out[:, 0]))]
 
     # -- stage 3: fused align + LDDT on survivors ------------------------
-    def align_survivors(self, pairs_orig: np.ndarray):
+    def align_survivors(self, pairs_orig: np.ndarray,
+                        need_all_paths: bool = False,
+                        fwd_prefilter: bool = False):
         """Full alignment of (i, j) original-index pairs.  Returns a dict
-        {(i, j): AlignResult} including only alignments with a path."""
+        {(i, j): AlignResult} including only alignments with a path.
+
+        fwd_prefilter enables a two-phase mode (SURVEY §7): a score-only
+        prepass drops pairs that cannot reach MinFwdScore (reference gate
+        src/dssaligner.cpp:852-860 — such pairs never get an E-value, so
+        the E-gate rejects their rows); the fused traceback+LDDT kernel
+        runs only on the rest.  Worth it only when survival is sparse:
+        on Omega-filtered self-search ~98% of Mu survivors pass
+        MinFwdScore (measured on q100), so the prepass would only add a
+        pass.  Ignored when need_all_paths (E-gate off: rows without
+        E-values are emitted, every path is needed)."""
         import jax.numpy as jnp
         p = self.params
         results: Dict[Tuple[int, int], AlignResult] = {}
         if len(pairs_orig) == 0:
             return results
+        if fwd_prefilter and p.min_fwd_score > 0 and not need_all_paths:
+            pre = self.stage2_scores(pairs_orig)
+            pairs_orig = pairs_orig[
+                pre >= np.float32(p.min_fwd_score) - STAGE2_GUARD]
+            if len(pairs_orig) == 0:
+                return results
         use_pallas = _use_pallas()
         edges = np.asarray(self.edges)
         # square 128-aligned shapes keyed by the pair's max length: one
@@ -954,9 +1208,9 @@ class DeviceSelfSearch:
         jobs = []
         for le in sorted({int(x) for x in be}):
             rows = np.flatnonzero(be == le)
-            bs = max(8, STAGE3_CELLS // (le * le))
+            bs = _batch_shape(len(rows), le, STAGE3_CELLS,
+                              n_dev if self.mesh is not None else 1)
             if self.mesh is not None:
-                bs = -(-bs // n_dev) * n_dev
                 fn = _stage3_fn_sharded(
                     self.mesh, self.mesh_axis, le, self.pad_code,
                     float(p.gap_open), float(p.gap_ext), use_pallas)
@@ -1001,19 +1255,30 @@ class DeviceSelfSearch:
                           np.float32)
             la_v = self.lens[chunk[:, 0]]
             lb_v = self.lens[chunk[:, 1]]
-            # display-band check: device LDDT carries <~3e-7 of non-boundary
-            # rounding (TPU division); recompute on host any pair whose
-            # displayed values could change within the band
+            # display-band check: device values carry tiny non-boundary
+            # rounding (LDDT: TPU division/sqrt <~3e-7; FWD: the one-hot
+            # HIGHEST-precision smx matmul deviates <~1e-6 relative from
+            # the feature-ordered f32 adds).  Recompute on host any pair
+            # whose displayed/gated values could change within the bands
+            # (exact host kernels: native SW + native LDDT).
             recompute = risky[:n].copy()
             band = np.float32(1e-6)
+            fband = (np.float32(2e-5)
+                     * np.maximum(np.abs(best[:n]), np.float32(1.0)))
             ts_lo, pv_lo, ev_lo = _vector_stats(
-                best[:n], np.maximum(lddt[:n] - band, 0), sa, sb, la_v, lb_v)
+                best[:n] - fband, np.maximum(lddt[:n] - band, 0),
+                sa, sb, la_v, lb_v)
             ts_hi, pv_hi, ev_hi = _vector_stats(
-                best[:n], lddt[:n] + band, sa, sb, la_v, lb_v)
+                best[:n] + fband, lddt[:n] + band, sa, sb, la_v, lb_v)
+            # MinFwdScore gate boundary (src/dssaligner.cpp:852-860)
+            recompute |= (np.abs(best[:n] - np.float32(p.min_fwd_score))
+                          <= fband)
             for kk in range(n):
                 if ("%.3g" % pv_lo[kk] != "%.3g" % pv_hi[kk]
                         or "%.3g" % ev_lo[kk] != "%.3g" % ev_hi[kk]
                         or "%.3g" % ts_lo[kk] != "%.3g" % ts_hi[kk]
+                        or "%.1f" % np.float32(best[kk] - fband[kk])
+                        != "%.1f" % np.float32(best[kk] + fband[kk])
                         or "%.4g" % np.float32(lddt[kk] - band)
                         != "%.4g" % np.float32(lddt[kk] + band)):
                     recompute[kk] = True
@@ -1029,7 +1294,12 @@ class DeviceSelfSearch:
                     query=self.ecs[i].label, target=self.ecs[j].label,
                     fwd_score=float(best[kk]), lo_a=int(lo_a[kk]),
                     lo_b=int(lo_b[kk]), path=path)
-                if best[kk] >= p.min_fwd_score:
+                gate_fwd = np.float32(best[kk])
+                if recompute[kk]:
+                    gate_fwd = np.float32(_exact_fwd_score(
+                        p, self.ecs[i].profile, self.ecs[j].profile))
+                    res.fwd_score = float(gate_fwd)
+                if gate_fwd >= p.min_fwd_score:
                     res.hi_a = int(hi_a[kk])
                     res.hi_b = int(hi_b[kk])
                     res.ids = int(n_m[kk])
@@ -1043,7 +1313,7 @@ class DeviceSelfSearch:
                             self.ecs[i].chain.coords,
                             self.ecs[j].chain.coords, pos_q, pos_t)
                         tse, pve, eve = _vector_stats(
-                            best[kk:kk + 1], np.float32([l_exact]),
+                            np.float32([gate_fwd]), np.float32([l_exact]),
                             sa[kk:kk + 1], sb[kk:kk + 1],
                             la_v[kk:kk + 1], lb_v[kk:kk + 1])
                         res.lddt = float(l_exact)
