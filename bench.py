@@ -50,10 +50,14 @@ def main():
     hits_warm = run_once(chains, params)
     warm_s = time.time() - t_warm
 
-    # measured pass: full pipeline including encode
-    t0 = time.time()
-    hits = run_once(chains, params)
-    dt = time.time() - t0
+    # measured passes: full pipeline including encode; median of 3 (the
+    # shared TPU link's latency fluctuates run to run)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        hits = run_once(chains, params)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
 
     pairs_per_sec = n_pairs / dt
     result = {
@@ -63,7 +67,8 @@ def main():
         "vs_baseline": round(pairs_per_sec / REF_PAIRS_PER_SEC, 3),
     }
     print(json.dumps(result))
-    print(f"# warmup {warm_s:.1f}s, measured {dt:.1f}s, "
+    print(f"# warmup {warm_s:.1f}s, measured {dt:.2f}s "
+          f"(runs {['%.2f' % t for t in times]}), "
           f"hits {len(hits)} (warm {len(hits_warm)})", file=sys.stderr)
     return 0
 

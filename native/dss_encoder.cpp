@@ -107,110 +107,136 @@ int dss_encode(const float *coords, const char *seq, int L,
             ss[p] = 2;
     }
 
-    // ---- NEN / REN (dss.cpp:374-470) -----------------------------------
+    // ---- windowed scans: NEN/REN + densities + NX ----------------------
+    // (dss.cpp:374-470, 179-244, 339-372, 246-325)
+    // One distance row per residue feeds every windowed feature, and
+    // exp(-d/20) is computed once per (p, q) pair — density, ss-density
+    // and NX all use radius 20 (DENSITY_RADIUS == NU_ND_RADIUS).
+    // Identical float inputs give identical values and each feature's
+    // accumulation order is unchanged, so results stay bit-equal to the
+    // separate per-feature loops (asserted vs the numpy encoder).
+    static_assert(DENSITY_RADIUS == NU_ND_RADIUS, "shared exp cache");
+    static_assert(DENSITY_W == SSDENSITY_W && DENSITY_W == NUDX_W,
+                  "shared 50-window");
     std::vector<int> nen(L, -1), ren(L, -1);
-    for (int p = 0; p < L; ++p) {
-        int lo = p - NEN_W < 0 ? 0 : p - NEN_W;
-        int hi = p + NEN_W >= L ? L - 1 : p + NEN_W;
-        double best = 999;
-        int bi = -1;
-        for (int q = lo; q <= hi; ++q) {
-            if (q + NEN_w >= p && q <= p + NEN_w) continue;
-            double d = C.dist(p, q);
-            if (d < best) { best = d; bi = q; }
-        }
-        nen[p] = bi;
-        if (bi < 0) continue;
-        int rlo, rhi;
-        if (bi > p) { rlo = p - NEN_W < 0 ? 0 : p - NEN_W; rhi = p - 1; }
-        else { rlo = p + 1; rhi = p + NEN_W >= L ? L - 1 : p + NEN_W; }
-        if (rhi < 0) continue;
-        best = 999; bi = -1;
-        for (int q = rlo; q <= rhi; ++q) {
-            if (q + NEN_w >= p && q <= p + NEN_w) continue;
-            double d = C.dist(p, q);
-            if (d < best) { best = d; bi = q; }
-        }
-        ren[p] = bi;
-    }
-
-    // ---- densities (dss.cpp:179-244, 339-372) --------------------------
-    std::vector<double> dens(L), helixd(L), strandd(L);
+    std::vector<double> dens(L), helixd(L), strandd(L), nx(L);
     double mn = 999, mx = 0;
+    std::vector<float> drow(2 * NEN_W + 1);
+    std::vector<double> e20(2 * DENSITY_W + 1);
     for (int p = 0; p < L; ++p) {
-        if (p == 0 || p + 1 >= L) { dens[p] = DBL_BIG; continue; }
-        int lo = p - DENSITY_W < 0 ? 0 : p - DENSITY_W;
-        int hi = p + DENSITY_W >= L ? L - 1 : p + DENSITY_W;
-        double d = 0;
-        for (int q = lo; q <= hi; ++q) {
-            if (q + DENSITY_w >= p && q <= p + DENSITY_w) continue;
-            d += exp(-(double)C.dist(p, q) / DENSITY_RADIUS);
+        const int lo100 = p - NEN_W < 0 ? 0 : p - NEN_W;
+        const int hi100 = p + NEN_W >= L ? L - 1 : p + NEN_W;
+        for (int q = lo100; q <= hi100; ++q)
+            drow[q - lo100] = C.dist(p, q);
+        const int lo50 = p - DENSITY_W < 0 ? 0 : p - DENSITY_W;
+        const int hi50 = p + DENSITY_W >= L ? L - 1 : p + DENSITY_W;
+        for (int q = lo50; q <= hi50; ++q)
+            e20[q - lo50] =
+                exp(-(double)drow[q - lo100] / DENSITY_RADIUS);
+
+        // NEN / REN
+        {
+            double best = 999;
+            int bi = -1;
+            for (int q = lo100; q <= hi100; ++q) {
+                if (q + NEN_w >= p && q <= p + NEN_w) continue;
+                double d = drow[q - lo100];
+                if (d < best) { best = d; bi = q; }
+            }
+            nen[p] = bi;
+            if (bi >= 0) {
+                int rlo, rhi;
+                if (bi > p) { rlo = lo100; rhi = p - 1; }
+                else { rlo = p + 1; rhi = hi100; }
+                if (rhi >= 0) {
+                    best = 999; bi = -1;
+                    for (int q = rlo; q <= rhi; ++q) {
+                        if (q + NEN_w >= p && q <= p + NEN_w) continue;
+                        double d = drow[q - lo100];
+                        if (d < best) { best = d; bi = q; }
+                    }
+                    ren[p] = bi;
+                }
+            }
         }
-        dens[p] = d;
-        if (d < mn) mn = d;
-        if (d > mx) mx = d;
+
+        if (p == 0 || p + 1 >= L) {
+            dens[p] = DBL_BIG;
+            helixd[p] = DBL_BIG;
+            strandd[p] = DBL_BIG;
+            nx[p] = DBL_BIG;
+            continue;
+        }
+
+        // density (exclude +-DENSITY_w)
+        {
+            double d = 0;
+            for (int q = lo50; q <= hi50; ++q) {
+                if (q + DENSITY_w >= p && q <= p + DENSITY_w) continue;
+                d += e20[q - lo50];
+            }
+            dens[p] = d;
+            if (d < mn) mn = d;
+            if (d > mx) mx = d;
+        }
+
+        // ss-densities, both classes in one pass (each class's own
+        // accumulators add in the same ascending-q order as before)
+        {
+            double d0 = 0, dc0 = 0, d1 = 0, dc1 = 0;
+            for (int q = lo50; q <= hi50; ++q) {
+                if (q + SSDENSITY_w >= p && q <= p + SSDENSITY_w)
+                    continue;
+                const double f = e20[q - lo50];
+                d0 += f;
+                if (ss[q] == 0) dc0 += f;
+                d1 += f;
+                if (ss[q] == 1) dc1 += f;
+            }
+            helixd[p] = dc0 / (d0 + SSDENSITY_EPS);
+            strandd[p] = dc1 / (d1 + SSDENSITY_EPS);
+        }
+
+        // NX (dss.cpp:246-325)
+        {
+            double d1x = (double)coords[3 * p] - coords[3 * (p - 1)];
+            double d1y = (double)coords[3 * p + 1] - coords[3 * (p - 1) + 1];
+            double d1z = (double)coords[3 * p + 2] - coords[3 * (p - 1) + 2];
+            double d2x = (double)coords[3 * p] - coords[3 * (p + 1)];
+            double d2y = (double)coords[3 * p + 1] - coords[3 * (p + 1) + 1];
+            double d2z = (double)coords[3 * p + 2] - coords[3 * (p + 1) + 2];
+            double vx = d1x + d2x, vy = d1y + d2y, vz = d1z + d2z;
+            double mod = sqrt(vx * vx + vy * vy + vz * vz);
+            if (mod > 0) { vx /= mod; vy /= mod; vz /= mod; }
+            double nu = 0, nd = 0;
+            for (int q = lo50; q <= hi50; ++q) {
+                if (q + 3 >= p && q <= p + 3) continue;
+                const double f = e20[q - lo50];
+                double wx = (double)coords[3 * q] - coords[3 * p];
+                double wy = (double)coords[3 * q + 1] - coords[3 * p + 1];
+                double wz = (double)coords[3 * q + 2] - coords[3 * p + 2];
+                double dot = vx * wx + vy * wy + vz * wz;
+                double mi = sqrt(vx * vx + vy * vy + vz * vz);
+                double mj = sqrt(wx * wx + wy * wy + wz * wz);
+                bool up;
+                if (fabs(mi * mj) < 1e-6) {
+                    up = true;  // GetTheta3D returns 0 (abcxyz.h:210-211)
+                } else {
+                    double ct = dot / (mi * mj);
+                    if (ct < -1) ct = -1;
+                    else if (ct > 1) ct = 1;
+                    double deg = acos(ct) * 180.0 / PI_REF;
+                    up = deg < 90.0;
+                }
+                if (up) nu += f; else nd += f;
+            }
+            nx[p] = nu + nd;
+        }
     }
     double rng = mx - mn;
     if (rng < 1) rng = 1;
     for (int p = 0; p < L; ++p)
         if (dens[p] != DBL_BIG) dens[p] = (dens[p] - mn) / rng;
-
-    for (int cls = 0; cls < 2; ++cls) {  // 0=h, 1=s
-        std::vector<double> &outv = cls == 0 ? helixd : strandd;
-        for (int p = 0; p < L; ++p) {
-            if (p == 0 || p + 1 >= L) { outv[p] = DBL_BIG; continue; }
-            int lo = p - SSDENSITY_W < 0 ? 0 : p - SSDENSITY_W;
-            int hi = p + SSDENSITY_W >= L ? L - 1 : p + SSDENSITY_W;
-            double d = 0, dc = 0;
-            for (int q = lo; q <= hi; ++q) {
-                if (q + SSDENSITY_w >= p && q <= p + SSDENSITY_w) continue;
-                double f = exp(-(double)C.dist(p, q) / DENSITY_RADIUS);
-                d += f;
-                if (ss[q] == cls) dc += f;
-            }
-            outv[p] = dc / (d + SSDENSITY_EPS);
-        }
-    }
-
-    // ---- NX (dss.cpp:246-325) ------------------------------------------
-    std::vector<double> nx(L);
-    for (int p = 0; p < L; ++p) {
-        if (p == 0 || p + 1 >= L) { nx[p] = DBL_BIG; continue; }
-        double d1x = (double)coords[3 * p] - coords[3 * (p - 1)];
-        double d1y = (double)coords[3 * p + 1] - coords[3 * (p - 1) + 1];
-        double d1z = (double)coords[3 * p + 2] - coords[3 * (p - 1) + 2];
-        double d2x = (double)coords[3 * p] - coords[3 * (p + 1)];
-        double d2y = (double)coords[3 * p + 1] - coords[3 * (p + 1) + 1];
-        double d2z = (double)coords[3 * p + 2] - coords[3 * (p + 1) + 2];
-        double vx = d1x + d2x, vy = d1y + d2y, vz = d1z + d2z;
-        double mod = sqrt(vx * vx + vy * vy + vz * vz);
-        if (mod > 0) { vx /= mod; vy /= mod; vz /= mod; }
-        int lo = p - NUDX_W < 0 ? 0 : p - NUDX_W;
-        int hi = p + NUDX_W >= L ? L - 1 : p + NUDX_W;
-        double nu = 0, nd = 0;
-        for (int q = lo; q <= hi; ++q) {
-            if (q + 3 >= p && q <= p + 3) continue;
-            double f = exp(-(double)C.dist(p, q) / NU_ND_RADIUS);
-            double wx = (double)coords[3 * q] - coords[3 * p];
-            double wy = (double)coords[3 * q + 1] - coords[3 * p + 1];
-            double wz = (double)coords[3 * q + 2] - coords[3 * p + 2];
-            double dot = vx * wx + vy * wy + vz * wz;
-            double mi = sqrt(vx * vx + vy * vy + vz * vz);
-            double mj = sqrt(wx * wx + wy * wy + wz * wz);
-            bool up;
-            if (fabs(mi * mj) < 1e-6) {
-                up = true;  // GetTheta3D returns 0 (abcxyz.h:210-211)
-            } else {
-                double ct = dot / (mi * mj);
-                if (ct < -1) ct = -1;
-                else if (ct > 1) ct = 1;
-                double deg = acos(ct) * 180.0 / PI_REF;
-                up = deg < 90.0;
-            }
-            if (up) nu += f; else nd += f;
-        }
-        nx[p] = nu + nd;
-    }
 
     // ---- Conf (myss.cpp:127-170) ---------------------------------------
     static const int CONF_I[9] = {-2, -2, -2, -1, -1, 0, -3, 0, -3};

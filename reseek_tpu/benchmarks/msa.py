@@ -45,15 +45,19 @@ def dali_pair_score(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
 
 
 def dali_score(q: Chain, t: Chain, pos_q: np.ndarray,
-               pos_t: np.ndarray) -> float:
+               pos_t: np.ndarray, r0: float = float("inf")) -> float:
     """GetDALIScore (src/dali.cpp:141-148): off-diagonal elastic sum +
-    Lali * theta."""
+    Lali * theta.  r0 gates distance pairs like DALIScorer::m_DALI_R0
+    (src/zscorer.cpp:42: skip when either distance exceeds R0; the
+    msta_score Z15 column uses r0=15)."""
     lali = len(pos_q)
     if lali == 0:
         return 0.0
     dq = q.dist_matrix()[np.ix_(pos_q, pos_q)].astype(np.float64)
     dt = t.dist_matrix()[np.ix_(pos_t, pos_t)].astype(np.float64)
     s = dali_pair_score(dq, dt)
+    if np.isfinite(r0):
+        s = np.where((dq > r0) | (dt > r0), 0.0, s)
     np.fill_diagonal(s, 0.0)
     return float(s.sum()) + lali * DALI_THETA
 
@@ -95,6 +99,58 @@ def lddt_msa_pair(q: Chain, t: Chain, col_to_pos_q: np.ndarray,
         scores = np.where(nr_considered > 0,
                           nr_preserved / np.maximum(nr_considered, 1), 0.0)
     return float(scores.mean())
+
+
+def lddt_foldmason(chains: Dict[int, Chain],
+                   maps: Sequence[np.ndarray],
+                   core_mask: Optional[np.ndarray] = None) -> float:
+    """Whole-MSA foldmason LDDT (GetLDDT_foldmason,
+    src/lddt_foldmason.cpp:6-98): mean over (core-eligible) columns of
+    the mean over aligned sequence pairs of the pair's per-column LDDT
+    (R0=15 gate on the FIRST sequence's distance — SYMM_First default,
+    src/daliscorer.h:29,39 — thresholds strict-< {0.5,1,2,4}).
+
+    chains: seq index -> Chain for rows with structures; maps: per-row
+    col->pos arrays (-1 = gap/excluded)."""
+    if not maps:
+        return 0.0
+    n_cols = len(maps[0])
+    idxs = sorted(chains)
+    total = np.zeros(n_cols, np.float64)
+    nseq_pairs = np.zeros(n_cols, np.int64)
+    for a in range(len(idxs)):
+        i = idxs[a]
+        mi = maps[i]
+        di_full = chains[i].dist_matrix().astype(np.float64)
+        for b in range(a + 1, len(idxs)):
+            j = idxs[b]
+            mj = maps[j]
+            both = (mi >= 0) & (mj >= 0)
+            cols = np.flatnonzero(both)
+            n = len(cols)
+            if n == 0:
+                continue
+            di = di_full[np.ix_(mi[cols], mi[cols])]
+            dj = chains[j].dist_matrix().astype(
+                np.float64)[np.ix_(mj[cols], mj[cols])]
+            offdiag = ~np.eye(n, dtype=bool)
+            consider = (di <= LDDT_R0) & offdiag  # SYMM_First
+            d_l = np.abs(di - dj)
+            isum = ((d_l < 0.5).astype(np.int64) + (d_l < 1.0)
+                    + (d_l < 2.0) + (d_l < 4.0))
+            num = np.where(consider, isum / 4.0, 0.0).sum(axis=1)
+            cnt = consider.sum(axis=1)
+            pair_score = np.where(cnt > 0, num / np.maximum(cnt, 1), 0.0)
+            total[cols] += pair_score
+            nseq_pairs[cols] += 1
+    col_scores = np.where(nseq_pairs > 0,
+                          total / np.maximum(nseq_pairs, 1), 0.0)
+    eligible = (np.ones(n_cols, bool) if core_mask is None
+                else core_mask.astype(bool))
+    n_considered = int(eligible.sum())
+    if n_considered == 0:
+        return 0.0
+    return float(col_scores[eligible].sum() / n_considered)
 
 
 # ---------------------------------------------------------------------------

@@ -169,7 +169,11 @@ def cmd_search(args) -> int:
                               dbmu=args.dbmu, engine=args.engine,
                               prefilter_mode=pf_mode)
         elif args.db:
-            db_chains = _read_chains_or_artifact(args.db, params)
+            from reseek_tpu.io.artifact import is_artifact
+            # plain structure files stream (memory O(queries + chunk),
+            # src/runquery.cpp); .rsdx artifacts load pre-encoded
+            db_chains = (_read_chains_or_artifact(args.db, params)
+                         if is_artifact(args.db) else args.db)
             drv = query_search(chains, db_chains, params, options, out,
                                engine=args.engine)
         else:

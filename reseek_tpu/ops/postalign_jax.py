@@ -119,12 +119,18 @@ def lddt_batch(cq: jnp.ndarray, ct: jnp.ndarray, valid: jnp.ndarray,
 
     risky = None
     if with_risky:
+        # margins sized from the actual device-vs-host error bounds
+        # (2x slack): |dd| error <= ~1.5e-5 (two sqrt ulps at d <= ~20
+        # plus the d^2 op-order difference propagated through sqrt);
+        # |a - R0^2| error <= ~8e-5 near the 225 boundary (3 ulps of
+        # 225).  Wider margins flag pairs ~linearly more often, and
+        # every flagged pair costs a host recompute.
         near_t = jnp.zeros(dd.shape, bool)
         for t in (0.5, 1.0, 2.0, 4.0):
             near_t = near_t | (jnp.abs(dd - np.float32(t))
-                               < np.float32(1e-4))
-        near_r0 = ((jnp.abs(a1 - r0_sq) < np.float32(1e-2))
-                   | (jnp.abs(a2 - r0_sq) < np.float32(1e-2)))
+                               < np.float32(3e-5))
+        near_r0 = ((jnp.abs(a1 - r0_sq) < np.float32(1e-3))
+                   | (jnp.abs(a2 - r0_sq) < np.float32(1e-3)))
         anyp = (near_t & consider) | (near_r0 & pair_valid & upper)
         risky = jnp.any(jnp.any(anyp, axis=2), axis=1)
 

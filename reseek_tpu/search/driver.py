@@ -303,7 +303,11 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
             if (a, b) not in seen:
                 seen.add((a, b))
                 long_pairs.append((a, b))
-    pool = ThreadPoolExecutor(max_workers=min(32, (os.cpu_count() or 4)))
+    # leave one core for the main thread: the device stages' wall time
+    # is dominated by host-side dispatch/fetch, which starves when the
+    # overlap pool saturates every core
+    pool = ThreadPoolExecutor(
+        max_workers=max(1, min(32, (os.cpu_count() or 4) - 1)))
     try:
         sr_futs = {}
         if not have_selfrev:
@@ -326,7 +330,9 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
         # sub-MinFwdScore pairs still need their paths (no prepass)
         need_all = (options.scores_are_not_evalues
                     or math.isinf(options.max_evalue))
-        by_pair = pipe.align_survivors(survivors, need_all_paths=need_all)
+        by_pair = pipe.align_survivors(
+            survivors, need_all_paths=need_all,
+            evalue_gate=None if need_all else options.max_evalue)
         for a, b, f in mkf_futs:
             res = f.result()
             if res is not None and res.path:
@@ -353,18 +359,26 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
     return drv
 
 
-def query_search(queries: Iterable[Chain], db_chains: List[Chain],
+def query_search(queries: Iterable[Chain], db_chains,
                  params: DSSParams, options: SearchOptions,
                  out: TextIO, engine: str = "auto",
-                 mesh=None) -> SearchDriver:
-    """Query-vs-DB in-memory scan (src/runquery.cpp, note the role
-    inversion: each streamed chain becomes the 'A' side, the loaded set is
-    scanned as targets, output orientation flipped back).
+                 mesh=None, chunk_size: Optional[int] = None
+                 ) -> SearchDriver:
+    """Query-vs-DB scan (src/runquery.cpp, note the role inversion: each
+    streamed chain becomes the 'A' side, the loaded set is scanned as
+    targets, output orientation flipped back).
 
-    engine="device" batches the whole rectangle through the TPU engine
-    (Mu filter + SW + LDDT staged like the self search); long (MKF-routed)
-    pairs run on the host thread pool concurrently.  mesh shards the
-    stage-2/3 pair batches over its devices (bit-equal output)."""
+    `db_chains` is a chain list, any iterable, or a PATH (streamed).
+    The DB side is processed in chunks of `chunk_size` (default 4096 or
+    $RESEEK_QUERY_CHUNK), so memory stays proportional to the query set
+    plus one chunk regardless of DB size — the reference's streaming
+    behavior (src/runquery.cpp:31-79).
+
+    engine="device" batches each chunk's rectangle through the TPU
+    engine (Mu filter + SW + LDDT staged like the self search); long
+    (MKF-routed) pairs run on the host thread pool concurrently.  mesh
+    shards the stage-2/3 pair batches over its devices (bit-equal
+    output)."""
     if engine == "auto":
         engine = "device" if (_tpu_available() or mesh is not None) \
             else "host"
@@ -372,21 +386,29 @@ def query_search(queries: Iterable[Chain], db_chains: List[Chain],
         import warnings
         warnings.warn("query_search: mesh is ignored on the host path; "
                       "running single-device", stacklevel=2)
+    if isinstance(db_chains, str):
+        from reseek_tpu.io.reader import iter_chains
+        db_iter = (c for c in iter_chains(db_chains) if len(c) > 0)
+    else:
+        db_iter = iter(db_chains)
     if engine == "device":
-        return _query_search_device(list(queries), db_chains, params,
-                                    options, out, mesh=mesh)
+        if chunk_size is None:
+            chunk_size = int(os.environ.get("RESEEK_QUERY_CHUNK", "4096"))
+        return _query_search_device(list(queries), db_iter, params,
+                                    options, out, mesh=mesh,
+                                    chunk_size=chunk_size)
     # role inversion (src/search.cpp:39-60 + src/runquery.cpp:31-79): the
-    # QUERY file is loaded in memory, the -db file is streamed as the
+    # QUERY file is loaded in memory, the -db side is streamed as the
     # DSSAligner 'A' side, and output orientation is flipped back
     q_ecs = _encode_all(list(queries), params, with_self_rev=True)
     drv = SearchDriver(params, options, out)
-    drv.query_count = len(q_ecs)
     from reseek_tpu.align.pipeline import self_rev_score
-    for tc in db_chains:
+    for tc in db_iter:
         t = (tc if isinstance(tc, EncodedChain)
              else encode_for_search(tc, params))
         if t.self_rev_score == _FLT_MAX:
             t.self_rev_score = self_rev_score(t, params)
+        drv.query_count += 1
         for q in q_ecs:
             drv.processed_pairs += 1
             res = drv.aligner.align(t, q)
@@ -396,13 +418,16 @@ def query_search(queries: Iterable[Chain], db_chains: List[Chain],
     return drv
 
 
-def _query_search_device(queries: List[Chain], db_chains: List[Chain],
+def _query_search_device(queries: List[Chain], db_iter,
                          params: DSSParams, options: SearchOptions,
-                         out: TextIO, mesh=None) -> SearchDriver:
-    """Query-vs-DB on the batched device engine: one sorted rectangular
-    pipeline over queries + targets, pair set staged through the Mu
-    filter, score and fused traceback+LDDT kernels; long pairs on the
-    host MKF thread pool, overlapped with device compute."""
+                         out: TextIO, mesh=None,
+                         chunk_size: int = 4096) -> SearchDriver:
+    """Query-vs-DB on the batched device engine, DB side chunked: per
+    chunk, one sorted rectangular pipeline over queries + chunk targets,
+    pair set staged through the Mu filter, score and fused
+    traceback+LDDT kernels; long pairs on the host MKF thread pool,
+    overlapped with device compute.  Memory is O(queries + chunk)."""
+    import itertools
     import math
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
@@ -412,65 +437,81 @@ def _query_search_device(queries: List[Chain], db_chains: List[Chain],
     from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
     q_ecs = _encode_all(queries, params, with_self_rev=False)
-    t_ecs = _encode_all(db_chains, params, with_self_rev=False)
-    ecs = q_ecs + t_ecs
-    nq, nt = len(q_ecs), len(t_ecs)
-    pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=False,
-                            mesh=mesh)
+    nq = len(q_ecs)
 
     drv = SearchDriver(params, options, out)
-    drv.query_count = nt
-    drv.processed_pairs = nq * nt
-    _maybe_trace(drv, ecs, options)
-
-    lens = np.array([len(ec) for ec in ecs])
-    pool = ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 4)))
+    need_all = (options.scores_are_not_evalues
+                or math.isinf(options.max_evalue))
+    pool = ThreadPoolExecutor(
+        max_workers=max(1, min(32, (_os.cpu_count() or 4) - 1)))
     try:
-        # self-rev on the host thread pool (native exact SW), overlapped
-        # with the device Mu filter below
-        sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
-                   for i, ec in enumerate(ecs)
+        # query self-rev once, before the chunk loop
+        sr_futs = {i: pool.submit(self_rev_score, q_ecs[i], params)
+                   for i, ec in enumerate(q_ecs)
                    if ec.self_rev_score == _FLT_MAX}
-
-        # pair rectangle with the role inversion of src/runquery.cpp:
-        # A side = db chain (index nq+ti in the combined list), B = query
-        qi, ti = np.meshgrid(np.arange(nq), np.arange(nt), indexing="ij")
-        pairs = np.stack([nq + ti.ravel(), qi.ravel()], axis=1)
-        is_long = (lens[pairs[:, 0]] >= params.mkfl) \
-            | (lens[pairs[:, 1]] >= params.mkfl)
-        long_pairs = pairs[is_long]
-        dev_pairs = pairs[~is_long]
-
-        if params.omega > 0 and len(dev_pairs):
-            mu = pipe.stage1_scores(dev_pairs)
-            dev_pairs = dev_pairs[mu >= params.omega]
-
         for i, f in sr_futs.items():
-            ecs[i].self_rev_score = f.result()
-        mkf_futs = [(int(a) - nq, int(b),
-                     pool.submit(drv.aligner.align, ecs[a], ecs[b]))
-                    for a, b in long_pairs]
+            q_ecs[i].self_rev_score = f.result()
 
-        need_all = (options.scores_are_not_evalues
-                    or math.isinf(options.max_evalue))
-        dev_results = pipe.align_survivors(dev_pairs,
-                                           need_all_paths=need_all)
-        by_pair = {(a - nq, b): r for (a, b), r in dev_results.items()
-                   if r.path}
-        for t_i, q_i, f in mkf_futs:
-            res = f.result()
-            if res is not None and res.path:
-                by_pair[(t_i, q_i)] = res
+        first_chunk = True
+        while True:
+            chunk = list(itertools.islice(db_iter, chunk_size))
+            if not chunk:
+                break
+            t_ecs = _encode_all(chunk, params, with_self_rev=False)
+            ecs = q_ecs + t_ecs
+            nt = len(t_ecs)
+            pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=False,
+                                    mesh=mesh)
+            if first_chunk:
+                _maybe_trace(drv, ecs, options)
+                first_chunk = False
+            drv.query_count += nt
+            drv.processed_pairs += nq * nt
+            lens = np.array([len(ec) for ec in ecs])
+
+            sr_futs = {i: pool.submit(self_rev_score, ecs[i], params)
+                       for i, ec in enumerate(ecs)
+                       if ec.self_rev_score == _FLT_MAX}
+
+            # pair rectangle with the role inversion of src/runquery.cpp:
+            # A side = db chain (index nq+ti in this chunk), B = query
+            qi, ti = np.meshgrid(np.arange(nq), np.arange(nt),
+                                 indexing="ij")
+            pairs = np.stack([nq + ti.ravel(), qi.ravel()], axis=1)
+            is_long = (lens[pairs[:, 0]] >= params.mkfl) \
+                | (lens[pairs[:, 1]] >= params.mkfl)
+            long_pairs = pairs[is_long]
+            dev_pairs = pairs[~is_long]
+
+            if params.omega > 0 and len(dev_pairs):
+                mu = pipe.stage1_scores(dev_pairs)
+                dev_pairs = dev_pairs[mu >= params.omega]
+
+            for i, f in sr_futs.items():
+                ecs[i].self_rev_score = f.result()
+            mkf_futs = [(int(a) - nq, int(b),
+                         pool.submit(drv.aligner.align, ecs[a], ecs[b]))
+                        for a, b in long_pairs]
+
+            dev_results = pipe.align_survivors(
+                dev_pairs, need_all_paths=need_all,
+                evalue_gate=None if need_all else options.max_evalue)
+            by_pair = {(a - nq, b): r
+                       for (a, b), r in dev_results.items() if r.path}
+            for t_i, q_i, f in mkf_futs:
+                res = f.result()
+                if res is not None and res.path:
+                    by_pair[(t_i, q_i)] = res
+            # reference single-thread row order: per db chain in stream
+            # order, each vs the loaded query set, orientation flipped
+            # back (src/runquery.cpp:31-79)
+            for t_i in range(nt):
+                for q_i in range(nq):
+                    res = by_pair.get((t_i, q_i))
+                    if res is not None:
+                        drv.emit(res, ecs[nq + t_i], ecs[q_i], False)
     finally:
         pool.shutdown(wait=True)
-    # reference single-thread row order: per db chain in file order, each
-    # vs the loaded query set, orientation flipped back
-    # (src/runquery.cpp:31-79)
-    for t_i in range(nt):
-        for q_i in range(nq):
-            res = by_pair.get((t_i, q_i))
-            if res is not None:
-                drv.emit(res, ecs[nq + t_i], ecs[q_i], False)
     return drv
 
 
@@ -666,7 +707,8 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
     is_long = ((lens[pairs[:, 0]] >= sens.mkfl)
                | (lens[pairs[:, 1]] >= sens.mkfl))
 
-    pool = ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 4)))
+    pool = ThreadPoolExecutor(
+        max_workers=max(1, min(32, (_os.cpu_count() or 4) - 1)))
     try:
         # self-rev on the host thread pool (native exact SW), overlapped
         # with the device Mu filter below
@@ -692,8 +734,9 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
                     for a, b in pairs[is_long]]
         need_all = (options.scores_are_not_evalues
                     or math.isinf(options.max_evalue))
-        by_pair = pipe.align_survivors(dev_pairs,
-                                       need_all_paths=need_all)
+        by_pair = pipe.align_survivors(
+            dev_pairs, need_all_paths=need_all,
+            evalue_gate=None if need_all else options.max_evalue)
         for a, b, f in mkf_futs:
             res = f.result()
             if res is not None and res.path:

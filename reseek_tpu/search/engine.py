@@ -592,6 +592,28 @@ def _stage1_block_fn(le: int, ca: int, cb: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _stage1_block_fn_multi(le: int, ca: int, cb: int, k: int,
+                           open_: float, ext: float, omega_fwd: float,
+                           omega: float):
+    """K stage-1 blocks in ONE kernel launch: block starts are [k]
+    vectors and lax.map runs the blocks sequentially on device (single
+    dispatch + single fetch instead of one per block — each launch
+    through the device link costs tens of ms).  Memory stays one block
+    (lax.map, not vmap).  Returns bits [k, ca*cb//8]."""
+    import jax
+    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
+
+    def multi(mu, mu_rev, mumx, a0v, b0v, a1v, b1v):
+        def one(args):
+            a0, b0, a1, b1 = args
+            return body(mu, mu_rev, mumx, a0, b0, a1, b1)
+
+        return jax.lax.map(one, (a0v, b0v, a1v, b1v))
+
+    return jax.jit(multi)
+
+
+@functools.lru_cache(maxsize=None)
 def _stage1_block_fn_sharded(mesh, axis: str, le: int, ca: int,
                              cb: int, open_: float, ext: float,
                              omega_fwd: float, omega: float):
@@ -1102,48 +1124,78 @@ class DeviceSelfSearch:
             import jax.numpy as jnp
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             jobs = []  # (handle, [(ba, bb)] per row, ca, cb)
+            # collect every block start grouped by compiled shape: blocks
+            # from different bucket combinations share (le, ca, cb), so
+            # one lax.map kernel runs them all in a single launch
+            groups: Dict[Tuple[int, int, int], list] = {}
             for ai, a0, a1 in dev:
                 for bi_, b0, b1 in dev:
                     if bi_ < ai:
                         continue
                     # pad both sides to the LARGER bucket's 128-aligned
                     # edge: one compiled shape per edge instead of one per
-                    # (la, lb) combination (remote compiles are minutes)
+                    # (la, lb) combination (remote compiles are minutes).
+                    # Block dims clamp to the RANGE sizes (pow2) so tiny
+                    # buckets don't pad to full blocks — at edge 1024 a
+                    # 7-chain bucket in a 64x8 block would be ~95%
+                    # padding, all of it real smx HBM traffic.
                     le = self.edges[bi_]
                     budget = max(256, STAGE1_CELLS // (le * le))
-                    ca = int(min(64, budget))
-                    cb = int(min(max(8, budget // ca), 512))
-                    starts = [(ba, bb)
-                              for ba in range(a0, a1, ca)
-                              for bb in range(b0, b1, cb)
-                              if bb + cb > ba]  # skip below-diagonal blocks
-                    if self.mesh is None:
-                        fn = _stage1_block_fn(
-                            le, ca, cb, o, e,
-                            float(p.omega_fwd), float(p.omega))
-                        for ba, bb in starts:
-                            r = fn(self.mu, self.mu_rev, self.mumx,
-                                   ba, bb, a1, b1)
-                            jobs.append((r, [(ba, bb)], ca, cb))
-                    else:
-                        fn = _stage1_block_fn_sharded(
-                            self.mesh, self.mesh_axis, le, ca, cb,
-                            o, e, float(p.omega_fwd), float(p.omega))
-                        for g in range(0, len(starts), n_dev):
-                            grp = starts[g: g + n_dev]
-                            pad = n_dev - len(grp)
-                            av = np.array([s[0] for s in grp] + [0] * pad,
-                                          np.int32)
-                            bv = np.array([s[1] for s in grp] + [0] * pad,
-                                          np.int32)
-                            a1v = np.array([a1] * len(grp) + [0] * pad,
-                                           np.int32)
-                            b1v = np.array([b1] * len(grp) + [0] * pad,
-                                           np.int32)
-                            r = fn(self.mu, self.mu_rev, self.mumx,
-                                   jnp.asarray(av), jnp.asarray(bv),
-                                   jnp.asarray(a1v), jnp.asarray(b1v))
-                            jobs.append((r, grp, ca, cb))
+                    ca = 8
+                    while ca < min(64, a1 - a0, budget):
+                        ca *= 2
+                    cb = 8
+                    while cb < min(512, b1 - b0, max(8, budget // ca)):
+                        cb *= 2
+                    for ba in range(a0, a1, ca):
+                        for bb in range(b0, b1, cb):
+                            if bb + cb > ba:  # skip below-diagonal blocks
+                                groups.setdefault((le, ca, cb), []).append(
+                                    (ba, bb, a1, b1))
+            for (le, ca, cb), starts in groups.items():
+                if self.mesh is None:
+                    k = 1
+                    while k < len(starts):
+                        k *= 2
+                    fn = _stage1_block_fn_multi(
+                        le, ca, cb, k, o, e,
+                        float(p.omega_fwd), float(p.omega))
+                    pad = k - len(starts)
+                    # padding blocks use a1 = b1 = 0 so every candidate
+                    # fails the range check and contributes no pairs
+                    av = np.array([s[0] for s in starts] + [0] * pad,
+                                  np.int32)
+                    bv = np.array([s[1] for s in starts] + [0] * pad,
+                                  np.int32)
+                    a1v = np.array([s[2] for s in starts] + [0] * pad,
+                                   np.int32)
+                    b1v = np.array([s[3] for s in starts] + [0] * pad,
+                                   np.int32)
+                    r = fn(self.mu, self.mu_rev, self.mumx,
+                           jnp.asarray(av), jnp.asarray(bv),
+                           jnp.asarray(a1v), jnp.asarray(b1v))
+                    jobs.append((r, [(s[0], s[1]) for s in starts],
+                                 ca, cb))
+                else:
+                    fn = _stage1_block_fn_sharded(
+                        self.mesh, self.mesh_axis, le, ca, cb,
+                        o, e, float(p.omega_fwd), float(p.omega))
+                    for g in range(0, len(starts), n_dev):
+                        grp = starts[g: g + n_dev]
+                        pad = n_dev - len(grp)
+                        av = np.array([s[0] for s in grp] + [0] * pad,
+                                      np.int32)
+                        bv = np.array([s[1] for s in grp] + [0] * pad,
+                                      np.int32)
+                        a1v = np.array([s[2] for s in grp] + [0] * pad,
+                                       np.int32)
+                        b1v = np.array([s[3] for s in grp] + [0] * pad,
+                                       np.int32)
+                        r = fn(self.mu, self.mu_rev, self.mumx,
+                               jnp.asarray(av), jnp.asarray(bv),
+                               jnp.asarray(a1v), jnp.asarray(b1v))
+                        jobs.append((r, [(s[0], s[1]) for s in grp],
+                                     ca, cb))
             import jax
             fetched_bits = jax.device_get([r for r, _, _, _ in jobs])
             for bits, (_, grp, ca, cb) in zip(fetched_bits, jobs):
@@ -1172,7 +1224,8 @@ class DeviceSelfSearch:
     # -- stage 3: fused align + LDDT on survivors ------------------------
     def align_survivors(self, pairs_orig: np.ndarray,
                         need_all_paths: bool = False,
-                        fwd_prefilter: bool = False):
+                        fwd_prefilter: bool = False,
+                        evalue_gate: Optional[float] = None):
         """Full alignment of (i, j) original-index pairs.  Returns a dict
         {(i, j): AlignResult} including only alignments with a path.
 
@@ -1261,27 +1314,58 @@ class DeviceSelfSearch:
             # the feature-ordered f32 adds).  Recompute on host any pair
             # whose displayed/gated values could change within the bands
             # (exact host kernels: native SW + native LDDT).
-            recompute = risky[:n].copy()
+            # two independent recompute flags, each priced separately:
+            #   lddt_rec — device LDDT near a threshold/display boundary
+            #              -> exact native LDDT (~0.3 ms/pair)
+            #   fwd_rec  — device one-hot-smx FWD near a display or
+            #              MinFwdScore gate boundary -> exact native SW
+            #              (~2 ms/pair; rare — ts is ~1e-3 sensitive per
+            #              unit fwd, so the fband almost never spans a
+            #              %.3g boundary)
+            lddt_rec = risky[:n].copy()
+            fwd_rec = np.zeros(n, bool)
             band = np.float32(1e-6)
             fband = (np.float32(2e-5)
                      * np.maximum(np.abs(best[:n]), np.float32(1.0)))
-            ts_lo, pv_lo, ev_lo = _vector_stats(
-                best[:n] - fband, np.maximum(lddt[:n] - band, 0),
+            tsl_lo, pvl_lo, evl_lo = _vector_stats(
+                best[:n], np.maximum(lddt[:n] - band, 0),
                 sa, sb, la_v, lb_v)
-            ts_hi, pv_hi, ev_hi = _vector_stats(
-                best[:n] + fband, lddt[:n] + band, sa, sb, la_v, lb_v)
+            tsl_hi, pvl_hi, evl_hi = _vector_stats(
+                best[:n], lddt[:n] + band, sa, sb, la_v, lb_v)
+            tsf_lo, pvf_lo, evf_lo = _vector_stats(
+                best[:n] - fband, lddt[:n], sa, sb, la_v, lb_v)
+            tsf_hi, pvf_hi, evf_hi = _vector_stats(
+                best[:n] + fband, lddt[:n], sa, sb, la_v, lb_v)
             # MinFwdScore gate boundary (src/dssaligner.cpp:852-860)
-            recompute |= (np.abs(best[:n] - np.float32(p.min_fwd_score))
-                          <= fband)
+            fwd_rec |= (np.abs(best[:n] - np.float32(p.min_fwd_score))
+                        <= fband)
+            # E-gate fast reject: ts is increasing in both fwd and lddt,
+            # so stats at (best+fband, lddt+band) bound the smallest
+            # E-value any in-band exact value could produce; pairs whose
+            # best-case E still exceeds the caller's emit gate can never
+            # produce a row — skip their stats, recomputes and display
+            # checks entirely (the emitter rejects res without E).
+            skip = np.zeros(n, bool)
+            if evalue_gate is not None:
+                _, _, ev_hh = _vector_stats(
+                    best[:n] + fband, lddt[:n] + band, sa, sb,
+                    la_v, lb_v)
+                skip = ev_hh > evalue_gate
             for kk in range(n):
-                if ("%.3g" % pv_lo[kk] != "%.3g" % pv_hi[kk]
-                        or "%.3g" % ev_lo[kk] != "%.3g" % ev_hi[kk]
-                        or "%.3g" % ts_lo[kk] != "%.3g" % ts_hi[kk]
-                        or "%.1f" % np.float32(best[kk] - fband[kk])
-                        != "%.1f" % np.float32(best[kk] + fband[kk])
+                if skip[kk]:
+                    continue
+                if ("%.3g" % pvl_lo[kk] != "%.3g" % pvl_hi[kk]
+                        or "%.3g" % evl_lo[kk] != "%.3g" % evl_hi[kk]
+                        or "%.3g" % tsl_lo[kk] != "%.3g" % tsl_hi[kk]
                         or "%.4g" % np.float32(lddt[kk] - band)
                         != "%.4g" % np.float32(lddt[kk] + band)):
-                    recompute[kk] = True
+                    lddt_rec[kk] = True
+                if ("%.3g" % pvf_lo[kk] != "%.3g" % pvf_hi[kk]
+                        or "%.3g" % evf_lo[kk] != "%.3g" % evf_hi[kk]
+                        or "%.3g" % tsf_lo[kk] != "%.3g" % tsf_hi[kk]
+                        or "%.1f" % np.float32(best[kk] - fband[kk])
+                        != "%.1f" % np.float32(best[kk] + fband[kk])):
+                    fwd_rec[kk] = True
             ts, pv, ev = _vector_stats(best[:n], lddt[:n], sa, sb,
                                        la_v, lb_v)
             for kk in range(n):
@@ -1295,7 +1379,10 @@ class DeviceSelfSearch:
                     fwd_score=float(best[kk]), lo_a=int(lo_a[kk]),
                     lo_b=int(lo_b[kk]), path=path)
                 gate_fwd = np.float32(best[kk])
-                if recompute[kk]:
+                if skip[kk]:
+                    results[(i, j)] = res  # below the emit gate: no stats
+                    continue
+                if fwd_rec[kk]:
                     gate_fwd = np.float32(_exact_fwd_score(
                         p, self.ecs[i].profile, self.ecs[j].profile))
                     res.fwd_score = float(gate_fwd)
@@ -1304,19 +1391,23 @@ class DeviceSelfSearch:
                     res.hi_b = int(hi_b[kk])
                     res.ids = int(n_m[kk])
                     res.gaps = int(plen[kk]) - int(n_m[kk])
-                    if recompute[kk]:
-                        from reseek_tpu.align.pipeline import _path_positions
-                        from reseek_tpu.ops.lddt import lddt_mu_fast
-                        pos_q, pos_t = _path_positions(res.lo_a, res.lo_b,
-                                                       path)
-                        l_exact = lddt_mu_fast(
-                            self.ecs[i].chain.coords,
-                            self.ecs[j].chain.coords, pos_q, pos_t)
+                    if lddt_rec[kk] or fwd_rec[kk]:
+                        lddt_val = np.float32(lddt[kk])
+                        if lddt_rec[kk]:
+                            from reseek_tpu.align.pipeline import \
+                                _path_positions
+                            from reseek_tpu.ops.lddt import lddt_mu_fast
+                            pos_q, pos_t = _path_positions(
+                                res.lo_a, res.lo_b, path)
+                            lddt_val = np.float32(lddt_mu_fast(
+                                self.ecs[i].chain.coords,
+                                self.ecs[j].chain.coords, pos_q, pos_t))
                         tse, pve, eve = _vector_stats(
-                            np.float32([gate_fwd]), np.float32([l_exact]),
+                            np.float32([gate_fwd]),
+                            np.float32([lddt_val]),
                             sa[kk:kk + 1], sb[kk:kk + 1],
                             la_v[kk:kk + 1], lb_v[kk:kk + 1])
-                        res.lddt = float(l_exact)
+                        res.lddt = float(lddt_val)
                         res.ts = float(tse[0])
                         res.pvalue = float(pve[0])
                         res.evalue = float(eve[0])
