@@ -188,6 +188,196 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_create_foldseekdb(args) -> int:
+    """-create_foldseekdb (src/create_foldseekdb.cpp:17-170): write a
+    Foldseek-format database from structures + a 3Di FASTA (byte-level
+    format parity incl. the packed int16-delta C-alpha codec)."""
+    from reseek_tpu.io.foldseek import write_foldseek_db
+    from reseek_tpu.io.mufasta import iter_fasta
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    seqs_3di = {label.split()[0]: seq
+                for label, seq in iter_fasta(args.tdi)}
+    n = write_foldseek_db(chains, seqs_3di, args.output, dupes=args.n)
+    print(f"{n} entries -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_convert_foldseekdb(args) -> int:
+    """-convert_foldseekdb (src/convert_foldseekdb.cpp:140-267): parse a
+    Foldseek database back to aa FASTA, 3Di FASTA and/or .cal."""
+    from reseek_tpu.chain import Chain
+    from reseek_tpu.io.cal import write_cal
+    from reseek_tpu.io.foldseek import read_foldseek_db
+
+    from reseek_tpu.io.mufasta import seq_to_fasta
+    entries = read_foldseek_db(args.prefix)
+    if args.fasta:
+        with open(args.fasta, "w") as f:
+            for label, seq, _s3, _c in entries:
+                seq_to_fasta(f, label, seq)
+    if args.tdi:
+        with open(args.tdi, "w") as f:
+            for label, _seq, s3, _c in entries:
+                seq_to_fasta(f, label, s3)
+    if args.cal:
+        chains = [Chain(label, seq, coords)
+                  for label, seq, _s3, coords in entries]
+        write_cal(chains, args.cal)
+    print(f"{len(entries)} entries from {args.prefix}", file=sys.stderr)
+    return 0
+
+
+def cmd_float_feature_bins(args) -> int:
+    """-float_feature_bins (src/float_feature_bins.cpp:67-166): from
+    trusted pairwise alignments, collect a float feature's values at
+    aligned columns, derive quantile bin thresholds per alphabet size,
+    and report each size's expected log-odds score plus BIN_T lines
+    (the reference writes these to its -log; here to --output/stdout)."""
+    import numpy as np
+    from reseek_tpu.benchmarks.train import (LogOdds, _aligned_positions,
+                                             read_aligned_pairs)
+    from reseek_tpu.encoder.dss import float_feature_values
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.train_cal)
+    by_dom = {c.label.split("/")[0]: c for c in chains}
+    pairs = read_aligned_pairs(args.pairs)
+    cache = {}
+
+    def vals(c):
+        if c.label not in cache:
+            cache[c.label] = float_feature_values(c, args.feature)
+        return cache[c.label]
+
+    v1, v2 = [], []
+    for lq, rq, lr, rr in pairs:
+        qc = by_dom[lq.split("/")[0]]
+        rc = by_dom[lr.split("/")[0]]
+        pq, pr = _aligned_positions(rq, rr)
+        vq = vals(qc)[pq]
+        vr = vals(rc)[pr]
+        ok = np.isfinite(vq) & np.isfinite(vr)
+        v1.extend(vq[ok])
+        v2.extend(vr[ok])
+    v1 = np.asarray(v1)
+    v2 = np.asarray(v2)
+    values = np.sort(np.concatenate([np.stack([v1, v2], 1).ravel()]))
+    if len(values) == 0:
+        raise SystemExit("no aligned defined values")
+    print("Value range %.3g .. %.3g" % (values[0], values[-1]),
+          file=sys.stderr)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        sizes = ([args.alpha_size] if args.alpha_size
+                 else [3, 4, 6, 8, 10, 12, 16, 24, 32])
+        k_tot = len(values)
+        for a in sizes:
+            ts = np.array([values[((i + 1) * k_tot) // a]
+                           for i in range(a - 1)])
+            # DSS::ValueToInt (src/dss.cpp:840-847): first i with
+            # value <= Ts[i], else N
+            i1 = np.searchsorted(ts, v1, side="left")
+            i2 = np.searchsorted(ts, v2, side="left")
+            lo = LogOdds(a)
+            lo.add_background(i1)
+            lo.add_background(i2)
+            lo.add_true_pairs(i1, i2)
+            mx, expected = lo.log_odds_mx()
+            print("%s: AlphaSize %u, ExpectedScore %.4g"
+                  % (args.feature, a, expected), file=sys.stderr)
+            out.write("\n// %s [%2u] expected score %.4g\n"
+                      % (args.feature, a, expected))
+            out.write("ALPHA_SIZE(%s, %u);\n" % (args.feature, a))
+            out.write("BIN_T_BEGIN(%s);\n" % args.feature)
+            for i in range(a - 1):
+                out.write("BIN_T(%s, %u, %.4g);\n"
+                          % (args.feature, i, ts[i]))
+            out.write("BIN_T_END(%s);\n" % args.feature)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_sscluster(args) -> int:
+    """-sscluster (src/sscluster.cpp:171-371): k-means over per-residue
+    intra-window CA distance vectors (pairs (i, j) in [-2, 2] excluding
+    adjacent; +3 extra pairs with --myss3), reporting centroid means and
+    the SS-letter correlation per cluster.  Functional equivalent of the
+    reference trainer: initialization uses a seeded numpy RNG rather
+    than the reference's randu32 stream, so cluster numbering can
+    differ; the shipped Conf centroids live in data/tables.npz."""
+    import numpy as np
+    from reseek_tpu.encoder.dss import _banded_distances, compute_ss
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    k = args.k
+    n_max = args.n
+    ij = [(min(i, j), max(i, j))
+          for i in range(-2, 3) for j in range(i + 1, 3)
+          if abs(j - i) != 1]
+    if args.myss3:
+        ij += [(-3, 3), (0, 3), (-3, 0)]
+    m = len(ij)
+
+    from reseek_tpu.encoder.dss import BAND_W
+    vs, sss = [], []
+    for c in chains:
+        L = len(c)
+        ss = compute_ss(c.coords, _banded_distances(c.coords, BAND_W))
+        ss_chars = "hst~"
+        for p in range(3, L - 3):
+            v = [float(np.linalg.norm(c.coords[p + i] - c.coords[p + j]))
+                 for i, j in ij]
+            vs.append(v)
+            sss.append(ss_chars[ss[p]] if ss[p] < 4 else "~")
+            if len(vs) >= n_max:
+                break
+        if len(vs) >= n_max:
+            break
+    x = np.asarray(vs)
+    n = len(x)
+    rng = np.random.default_rng(args.randseed)
+    assign = rng.integers(0, k, n)
+    for it in range(100):
+        means = np.stack([x[assign == kk].mean(axis=0)
+                          if (assign == kk).any()
+                          else x[rng.integers(0, n)]
+                          for kk in range(k)])
+        d = np.linalg.norm(x[:, None, :] - means[None], axis=2)
+        new = d.argmin(axis=1)
+        changes = int((new != assign).sum())
+        assign = new
+        print(f"Iter {it}, {changes} changes", file=sys.stderr)
+        if changes == 0:
+            print("=== CONVERGED ===", file=sys.stderr)
+            break
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        sizes = np.bincount(assign, minlength=k)
+        order = np.argsort(-sizes, kind="stable")
+        out.write("//          " + "".join("  %10s" % f"{i},{j}"
+                                           for i, j in ij) + "\n")
+        sss = np.asarray(sss)
+        for rank, kk in enumerate(order):
+            mean = x[assign == kk].mean(axis=0) if sizes[kk] else \
+                np.zeros(m)
+            out.write("Mean[%3u] " % rank
+                      + "".join(" %10.4g" % v for v in mean))
+            cnt = {c: int((sss[assign == kk] == c).sum())
+                   for c in "hst~"}
+            out.write("  size=%.1f%%  h=%d s=%d t=%d ~=%d\n"
+                      % (100.0 * sizes[kk] / max(n, 1), cnt["h"],
+                         cnt["s"], cnt["t"], cnt["~"]))
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
 def cmd_align_bags(args) -> int:
     """MKF-vs-full-SW self-check (reference -align_bags,
     src/align_bag.cpp:97-199): all-vs-all pairs with both chains >= 400
@@ -269,6 +459,132 @@ def cmd_align_bags(args) -> int:
             out.close()
     print(f"align-bags: {n_rows} rows, {n_problem} PROBLEM",
           file=sys.stderr)
+    return 0
+
+
+def _msta_setup(msa_path: str, chains, core: bool):
+    """Shared MSA setup for the msta commands (DALIScorer::SetMSA,
+    src/daliscorer.cpp): rows, core mask, col->pos maps, matched
+    chains."""
+    from reseek_tpu.benchmarks.msa import (_match_chains, col_to_pos,
+                                           core_columns, read_msa_fasta)
+    msa = read_msa_fasta(msa_path)
+    rows = [r for _, r in msa]
+    core_mask = core_columns(rows) if core else None
+    matched = _match_chains(msa, chains)
+    maps = [col_to_pos(r, core_mask) for r in rows]
+    return msa, core_mask, matched, maps
+
+
+def cmd_msta_score(args) -> int:
+    """-msta_score (src/msta_score.cpp:6-97): all-pairs MSA structure
+    scores — LDDT_mu (muscle convention), DALI Z, Z15 (R0=15-gated DALI)
+    — plus the whole-MSA foldmason LDDT and averages."""
+    import os as _os
+
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import (dali_score, dali_z,
+                                           lddt_foldmason, lddt_msa_pair)
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    name = _os.path.splitext(_os.path.basename(args.msa))[0]
+    msa, core_mask, matched, maps = _msta_setup(args.msa, chains,
+                                                args.core)
+    out = open(args.output, "w") if args.output else sys.stdout
+    sum_z = sum_z15 = sum_lddt = 0.0
+    n_pairs = 0
+    try:
+        for i in range(len(msa)):
+            for j in range(i + 1, len(msa)):
+                l1, l2 = msa[i][0], msa[j][0]
+                if i not in matched or j not in matched:
+                    out.write(f"{l1}\t{l2}\tERROR_structure_not_found\n")
+                    continue
+                ci, cj = matched[i], matched[j]
+                n_pairs += 1
+                lddt_mu = lddt_msa_pair(ci, cj, maps[i], maps[j])
+                both = (maps[i] >= 0) & (maps[j] >= 0)
+                pq, pt = maps[i][both], maps[j][both]
+                z = dali_z(dali_score(ci, cj, pq, pt), len(ci), len(cj))
+                z15 = dali_z(dali_score(ci, cj, pq, pt, r0=15.0),
+                             len(ci), len(cj))
+                sum_z += z
+                sum_z15 += z15
+                sum_lddt += lddt_mu
+                out.write("label1=%s\tlabel2=%s\tLDDT_mu=%.4f\t"
+                          "Z=%.3f\tZ15=%.3f\n" % (l1, l2, lddt_mu, z, z15))
+        lddt_fm = lddt_foldmason(matched, maps, core_mask)
+        mz = sum_z / n_pairs if n_pairs else 0.0
+        mz15 = sum_z15 / n_pairs if n_pairs else 0.0
+        ml = sum_lddt / n_pairs if n_pairs else 0.0
+        out.write("MSA=%s\tLDDT_fm=%.4f\tavg_LDDT_mu=%.4f\t"
+                  "avg_Z=%.3f\tavg_Z15=%.3f\n" % (name, lddt_fm, ml, mz,
+                                                  mz15))
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_msta_scores(args) -> int:
+    """-msta_scores (src/msta_scores.cpp:6-113): batch MSA scoring — for
+    each accession in the list file, score testdir/<acc> (mean pairwise
+    DALI Z and LDDT_mu), then print per-MSA rows and the averages."""
+    import os as _os
+
+    from reseek_tpu.benchmarks.msa import (dali_score, dali_z,
+                                           lddt_msa_pair)
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    with open(args.accs) as f:
+        accs = [ln.strip() for ln in f if ln.strip()]
+    testdir = args.testdir.rstrip("/") + "/"
+    out = open(args.output, "w") if args.output else sys.stdout
+    sum_z = sum_lddt = 0.0
+    n_found = 0
+    try:
+        for acc in accs:
+            fn = testdir + acc
+            if not _os.path.exists(fn):
+                out.write(f"missing_aln={fn}\n")
+                continue
+            msa, core_mask, matched, maps = _msta_setup(fn, chains,
+                                                        args.core)
+            if not msa:
+                out.write(f"empty_aln={fn}\n")
+                continue
+            n_found += 1
+            z_sum = l_sum = 0.0
+            np_pairs = 0
+            for i in range(len(msa)):
+                for j in range(i + 1, len(msa)):
+                    if i not in matched or j not in matched:
+                        continue
+                    ci, cj = matched[i], matched[j]
+                    np_pairs += 1
+                    both = (maps[i] >= 0) & (maps[j] >= 0)
+                    z_sum += dali_z(
+                        dali_score(ci, cj, maps[i][both], maps[j][both]),
+                        len(ci), len(cj))
+                    l_sum += lddt_msa_pair(ci, cj, maps[i], maps[j])
+            z = z_sum / np_pairs if np_pairs else 0.0
+            lddt_mu = l_sum / np_pairs if np_pairs else 0.0
+            sum_z += z
+            sum_lddt += lddt_mu
+            out.write("aln=%s\tseqs=%u\tZ=%.3f\tLDDT_mu=%.4f"
+                      % (fn, len(msa), z, lddt_mu))
+            if args.core:
+                out.write("\tnr_core_cols=%u" % int(core_mask.sum()))
+            out.write("\n")
+        mz = sum_z / n_found if n_found else 0.0
+        ml = sum_lddt / n_found if n_found else 0.0
+        out.write("testdir=%s\tavg_Z=%.4f\tavg_LDDT_mu=%.4f\n"
+                  % (testdir, mz, ml))
+    finally:
+        if args.output:
+            out.close()
     return 0
 
 
@@ -864,6 +1180,69 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("create-foldseekdb",
+                       help="write a Foldseek-format DB from structures "
+                            "+ 3Di FASTA (reference -create_foldseekdb)")
+    p.add_argument("input")
+    p.add_argument("--3di", dest="tdi", required=True,
+                   help="3Di FASTA (labels must match the chains)")
+    p.add_argument("--output", required=True, help="DB path prefix")
+    p.add_argument("-n", type=int, default=1,
+                   help="duplicate each entry n times (reference -n)")
+    p.set_defaults(func=cmd_create_foldseekdb)
+
+    p = sub.add_parser("convert-foldseekdb",
+                       help="Foldseek DB -> aa FASTA / 3Di FASTA / .cal "
+                            "(reference -convert_foldseekdb)")
+    p.add_argument("prefix")
+    p.add_argument("--fasta")
+    p.add_argument("--3di", dest="tdi")
+    p.add_argument("--cal")
+    p.set_defaults(func=cmd_convert_foldseekdb)
+
+    p = sub.add_parser("float-feature-bins",
+                       help="train float-feature bin thresholds from "
+                            "aligned pairs (reference -float_feature_bins)")
+    p.add_argument("pairs", help="FASTA of gapped row pairs")
+    p.add_argument("--train-cal", required=True,
+                   help="structure file with the training chains")
+    p.add_argument("--feature", required=True)
+    p.add_argument("--alpha-size", type=int)
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_float_feature_bins)
+
+    p = sub.add_parser("sscluster",
+                       help="k-means conformation-letter training "
+                            "(reference -sscluster)")
+    p.add_argument("input")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-n", type=int, default=100000)
+    p.add_argument("--myss3", action="store_true")
+    p.add_argument("--randseed", type=int, default=1)
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_sscluster)
+
+    p = sub.add_parser("msta-score",
+                       help="MSA structure scores: LDDT_mu / DALI Z / "
+                            "Z15 per pair + foldmason LDDT (reference "
+                            "-msta_score)")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True,
+                   help="structure file with the MSA's chains")
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_msta_score)
+
+    p = sub.add_parser("msta-scores",
+                       help="batch MSA scoring over an accession list "
+                            "(reference -msta_scores)")
+    p.add_argument("accs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--testdir", required=True)
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_msta_scores)
+
     p = sub.add_parser("align-bags",
                        help="MKF-vs-full-SW self-check (reference "
                             "-align_bags); prints PROBLEM rows")
@@ -1017,7 +1396,9 @@ def _reference_style(argv: List[str]) -> List[str]:
             "scop40bench", "prefilter-mu", "distmx", "shuffle", "split",
             "convert2mu", "gunzip", "cif2pdb", "prepare-query", "lddt-msa",
             "daliscore-msa", "train-features", "fit-gumbel", "calibrate",
-            "chains2pdbs", "getchains", "bca-stats", "align-bags"}
+            "chains2pdbs", "getchains", "bca-stats", "align-bags",
+            "msta-score", "msta-scores", "float-feature-bins",
+            "sscluster"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

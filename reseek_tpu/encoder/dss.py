@@ -498,6 +498,46 @@ def _encode_chain_numpy(chain: Chain) -> DSSEncoding:
     return DSSEncoding(chain=chain, features=feats, nen=nen, ren=ren, ss=ss)
 
 
+def float_feature_values(chain: Chain, feature: str) -> np.ndarray:
+    """Raw (pre-binning) float feature values per position, double
+    precision; undefined = +inf (the reference's DBL_MAX from
+    DSS::GetFloatFeature, src/dss.cpp:825-838).  Used by the
+    float-feature-bins training command."""
+    L = len(chain)
+    coords = chain.coords
+    dband = _banded_distances(coords, BAND_W)
+    pos = np.arange(L)
+    W = BAND_W
+    if feature == "NormDens":
+        return scale_density(compute_density(dband))
+    if feature in ("HelixDens", "StrandDens"):
+        ss = compute_ss(coords, dband)
+        return compute_ss_density(dband, ss,
+                                  0 if feature == "HelixDens" else 1)
+    if feature == "NX":
+        return compute_nx(coords, dband)
+    if feature in ("NENDist", "RENDist"):
+        nen, ren = compute_nen_ren(dband)
+        nbr = nen if feature == "NENDist" else ren
+        safe = np.where(nbr >= 0, nbr, 0)
+        off = np.clip(safe - pos, -W, W)
+        d = dband[pos, W + off].astype(np.float64)
+        return np.where(nbr >= 0, d, DEFAULT_NENDIST)
+    if feature in ("DstNxtHlx", "DstPrvHlx"):
+        ss = compute_ss(coords, dband)
+        mids, is_helix = compute_sse_mids(ss)
+        f = (compute_dst_nxt_hlx if feature == "DstNxtHlx"
+             else compute_dst_prv_hlx)
+        return f(coords, mids, is_helix)
+    if feature == "PMDist":
+        if L >= 8:
+            p1 = np.maximum(pos - PM_DELTA, 0)
+            p2 = np.minimum(pos + PM_DELTA, L - 1)
+            return _dist_pairs(coords, p1, p2).astype(np.float64)
+        return np.zeros(L, np.float64)
+    raise ValueError(f"not a float feature: {feature}")
+
+
 def feature_string(enc: DSSEncoding, feature: str) -> str:
     """Feature letters as chars, like -feature_fasta output
     (src/pdbchain.cpp:70-125: 0-25 -> A-Z, 26-35 -> a-j)."""

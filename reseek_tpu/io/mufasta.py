@@ -18,7 +18,26 @@ import numpy as np
 from reseek_tpu.search.prefilter import mu_from_ascii, read_mu_fasta
 
 __all__ = ["mu_from_ascii", "read_mu_fasta", "iter_mu_fasta",
-           "seq_to_fasta"]
+           "iter_fasta", "seq_to_fasta"]
+
+
+def iter_fasta(path: str) -> Iterator[Tuple[str, str]]:
+    """Yield (label, sequence) as plain text per record."""
+    label, parts = None, []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if label is not None:
+                    yield label, "".join(parts)
+                label = line[1:]
+                parts = []
+            else:
+                parts.append(line)
+    if label is not None:
+        yield label, "".join(parts)
 
 
 def iter_mu_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
