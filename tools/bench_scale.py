@@ -16,11 +16,12 @@ Measured 2026-08-21 on the round-4 runner (2 CPU cores), hits
 byte-identical to the reference binary in every row:
 
   chains   ours (wall / peak RSS)   reference -threads 1 (same host)
-  10,000       20.3 s / 185 MB          51.4 s / ~631 MB
-  300,000      56.6 s / 310 MB          81.3 s / ~630 MB
+  10,000        4.4 s / 184 MB          51.4 s / ~631 MB   (11.7x)
+  300,000      16.8 s / 310 MB          81.3 s / ~630 MB   (4.9x)
 
-(The "rip" envelope in BASELINE.md — 329k chains in <=10 s — is from a
-much faster AVX2 host; same-host ratio is the meaningful comparison.)
+(The "rip" envelope in BASELINE.md — 329k chains in <=10 s / <=700 MB —
+is from a much faster AVX2 host; the same-host ratio is the meaningful
+comparison, and the 300k memory envelope is met at 310 MB.)
 """
 
 import io
