@@ -896,20 +896,47 @@ def cmd_cif2pdb(args) -> int:
     return 0
 
 
-def cmd_prepare_query(args) -> int:
-    """-prepare_query (src/prepare_query.cpp:48-130): keep up to N
-    query chains that are >= minchainlength and < 90% identical to an
-    earlier kept chain; status TSV + .bca output.  (Identity here uses a
-    global sequence alignment ratio rather than the reference's
-    BLOSUM Viterbi — selection differs only for borderline ~90% pairs.)"""
-    import difflib
+def _global_pctid(seq_i: str, seq_j: str) -> float:
+    """prepare_query's GetPctId (src/prepare_query.cpp:10-45): BLOSUM62
+    global alignment (open -1, ext -0.05, free terminal gaps,
+    ViterbiFastMem char overload), identities / columns."""
+    import numpy as np
+    from reseek_tpu.data.blosum62 import char_subst_mx
+    from reseek_tpu.ops.nw import nw_align
+    if seq_i == seq_j:
+        return 100.0
+    m = char_subst_mx()
+    a = np.frombuffer(seq_i.encode("latin-1"), np.uint8)
+    b = np.frombuffer(seq_j.encode("latin-1"), np.uint8)
+    _score, path = nw_align(m[a[:, None], b[None, :]])
+    pa = pb = ids = 0
+    for c in path:
+        if c == "M":
+            if seq_i[pa] == seq_j[pb]:
+                ids += 1
+            pa += 1
+            pb += 1
+        elif c == "D":
+            pa += 1
+        else:
+            pb += 1
+    return (100.0 * ids) / len(path)
 
+
+def cmd_prepare_query(args) -> int:
+    """-prepare_query (src/prepare_query.cpp:48-130): keep up to N query
+    chains that are >= minchainlength and < 90% BLOSUM-global-identity
+    to an earlier kept chain; status TSV + .bca output.  Like the
+    reference, -n is only honored when -minchainlength is given
+    (otherwise the cap is 4)."""
     from reseek_tpu.io.bca import BCAWriter
     from reseek_tpu.io.reader import read_chains
     chains = read_chains(args.input)
-    min_len = max(args.minchainlength, 1)
-    max_chains = args.n
+    min_len = (args.minchainlength if args.minchainlength is not None
+               else 1)
+    max_chains = (args.n if args.minchainlength is not None else 4)
     kept = []
+    n_queries = 0
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         for i, c in enumerate(chains):
@@ -917,27 +944,29 @@ def cmd_prepare_query(args) -> int:
             if len(c) < min_len:
                 out.write("\tshort\n")
                 continue
-            if len(kept) >= max_chains:
+            if n_queries >= max_chains:
                 out.write("\ttoomany\n")
                 continue
             dup = None
-            for k in kept:
-                pct = 100.0 * difflib.SequenceMatcher(
-                    None, c.seq, k.seq).ratio()
+            for j, k in kept:
+                if len(k) < min_len:
+                    continue
+                pct = _global_pctid(c.seq, k.seq)
                 if pct >= 90.0:
-                    dup = k.label
+                    dup = (pct, j)
                     break
             if dup is not None:
-                out.write(f"\tdupe({dup})\n")
+                out.write("\t%.1f%%%u\n" % dup)
                 continue
-            kept.append(c)
+            kept.append((i, c))
+            n_queries += 1
             out.write("\tquery\n")
     finally:
         if args.output:
             out.close()
     if args.bca:
         with BCAWriter(args.bca) as w:
-            for c in kept:
+            for _j, c in kept:
                 w.write_chain(c)
     print(f"{len(kept)} queries kept", file=sys.stderr)
     return 0
@@ -1332,7 +1361,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bca")
     p.add_argument("--output")
     p.add_argument("-n", type=int, default=4)
-    p.add_argument("--minchainlength", type=int, default=1)
+    p.add_argument("--minchainlength", type=int)
     p.set_defaults(func=cmd_prepare_query)
 
     for name, metric in (("lddt-msa", "lddt"), ("daliscore-msa", "dali")):

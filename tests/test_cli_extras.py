@@ -242,7 +242,8 @@ def test_utility_commands(tmp_path):
     assert main(["prepare-query", str(dup), "--bca", str(keep),
                  "--output", str(rep)]) == 0
     assert len(read_bca(str(keep))) == 2
-    assert "dupe" in rep.read_text()
+    # the duplicate row carries the reference's "%.1f%%<j>" tag
+    assert "100.0%0" in rep.read_text()
 
 
 def test_distmx_and_params(tmp_path):
@@ -264,3 +265,17 @@ def test_distmx_and_params(tmp_path):
                  "--output", str(hits), "--columns", "query+target+dpscore",
                  "--scores-are-not-evalues"]) == 0
     assert hits.read_text().count("\n") > 0
+
+
+def test_prepare_query_reference_golden(tmp_path):
+    """prepare-query selection + status TSV byte-identical to the
+    reference binary's -prepare_query on q100 (-minchainlength 50 -n 30),
+    exercising the BLOSUM62 global-identity screen."""
+    import os
+    from conftest import GOLDEN
+    from reseek_tpu.cli import main
+    rep = tmp_path / "pq.tsv"
+    assert main(["prepare-query", Q100, "--output", str(rep),
+                 "--minchainlength", "50", "-n", "30"]) == 0
+    with open(os.path.join(GOLDEN, "prepare_query_q100.tsv")) as f:
+        assert rep.read_text() == f.read()
