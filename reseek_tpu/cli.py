@@ -188,6 +188,58 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_mmseqs_index_dump(args) -> int:
+    """-mmseqs_index_dump (src/mmseqs_index_dump.cpp:21-96): dump an
+    MMseqs2/Foldseek hits DB (prefix + .index + .dbtype) as text —
+    `index\\t<pos>\\t<len>` per record then its lines, non-printing bytes
+    shown as '@'."""
+    import os as _os
+    prefix = args.prefix
+    with open(prefix + ".dbtype", "rb") as f:
+        dbtype = f.read()
+    if len(dbtype) != 4:
+        raise SystemExit(f"{prefix}.dbtype: expected 4 bytes")
+    print("0x%04x  %s.dbtype" % (int.from_bytes(dbtype, "little"),
+                                 prefix), file=sys.stderr)
+    out = open(args.output, "w") if args.output else None
+    recnr = hitcount = nonprint = 0
+    nextpos = 0
+    with open(prefix, "rb") as fhits, open(prefix + ".index") as fidx:
+        for line in fidx:
+            recidx, recpos, reclen = (int(x) for x in line.split("\t"))
+            if recidx != recnr or recpos != nextpos or reclen <= 0:
+                raise SystemExit(
+                    f"bad index record {recnr}: {line.strip()}")
+            recnr += 1
+            nextpos += reclen
+            fhits.seek(recpos)
+            buf = fhits.read(reclen)
+            if buf[-1] != 0:
+                raise SystemExit(f"record {recidx} not NUL-terminated")
+            if out is not None:
+                out.write(f"index\t{recpos}\t{reclen}\n")
+                for b in buf[:-1]:
+                    c = chr(b)
+                    if c == "\n":
+                        out.write("\n")
+                        hitcount += 1
+                    elif c.isprintable() or c == "\t":
+                        out.write(c)
+                    else:
+                        nonprint += 1
+                        out.write("@")
+                out.write("\n")
+    if out is not None:
+        out.close()
+    if nextpos != _os.path.getsize(prefix):
+        print("warning: index does not cover the hits file "
+              f"({nextpos} != {_os.path.getsize(prefix)})",
+              file=sys.stderr)
+    print(f"{recnr} records, {hitcount} hits, {nonprint} "
+          "non-printing bytes", file=sys.stderr)
+    return 0
+
+
 def cmd_create_foldseekdb(args) -> int:
     """-create_foldseekdb (src/create_foldseekdb.cpp:17-170): write a
     Foldseek-format database from structures + a 3Di FASTA (byte-level
@@ -1209,6 +1261,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("mmseqs-index-dump",
+                       help="dump an MMseqs2/Foldseek hits DB as text "
+                            "(reference -mmseqs_index_dump)")
+    p.add_argument("prefix")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_mmseqs_index_dump)
+
     p = sub.add_parser("create-foldseekdb",
                        help="write a Foldseek-format DB from structures "
                             "+ 3Di FASTA (reference -create_foldseekdb)")
@@ -1427,7 +1486,8 @@ def _reference_style(argv: List[str]) -> List[str]:
             "daliscore-msa", "train-features", "fit-gumbel", "calibrate",
             "chains2pdbs", "getchains", "bca-stats", "align-bags",
             "msta-score", "msta-scores", "float-feature-bins",
-            "sscluster"}
+            "sscluster", "mmseqs-index-dump", "create-foldseekdb",
+            "convert-foldseekdb"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

@@ -279,3 +279,27 @@ def test_prepare_query_reference_golden(tmp_path):
                  "--minchainlength", "50", "-n", "30"]) == 0
     with open(os.path.join(GOLDEN, "prepare_query_q100.tsv")) as f:
         assert rep.read_text() == f.read()
+
+
+def test_mmseqs_index_dump(tmp_path):
+    """mmseqs-index-dump (reference -mmseqs_index_dump): record walk,
+    NUL checks, '@' for non-printing bytes."""
+    import io
+    from contextlib import redirect_stderr
+    from reseek_tpu.cli import main
+    recs = [b"q1\tt1\t0.5\nq1\tt2\t0.1\n\x00", b"q2\tt9\x01\n\x00"]
+    db = tmp_path / "db"
+    with open(db, "wb") as f, open(str(db) + ".index", "w") as ix:
+        pos = 0
+        for i, r in enumerate(recs):
+            f.write(r)
+            ix.write(f"{i}\t{pos}\t{len(r)}\n")
+            pos += len(r)
+    (tmp_path / "db.dbtype").write_bytes((0xC000).to_bytes(4, "little"))
+    out = tmp_path / "out.txt"
+    err = io.StringIO()
+    with redirect_stderr(err):
+        assert main(["mmseqs-index-dump", str(db),
+                     "--output", str(out)]) == 0
+    assert "2 records, 3 hits, 1 non-printing bytes" in err.getvalue()
+    assert "q2\tt9@" in out.read_text()
