@@ -188,6 +188,219 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_gunzip_lines(args) -> int:
+    """-gunzip_lines (src/gzipfileio.cpp): gunzip to text lines."""
+    import gzip
+    with gzip.open(args.input, "rt") as f:
+        lines = [ln.rstrip("\r\n") for ln in f]
+    if args.output:
+        with open(args.output, "w") as out:
+            for ln in lines:
+                out.write(ln + "\n")
+    return 0
+
+
+def cmd_musubstmx(args) -> int:
+    """-musubstmx (src/mumx.cpp:33-172): emit the 36x36 Mu matrix as C
+    source tables (float, int-rounded, 2x int-rounded) in the
+    reference's fprintf layout.  (The reference command derives the
+    matrix from g_ScoreMxs2[SS3/NENSS3/RENDist4], which are never
+    initialized — it segfaults; the shipped matrix in mumx_data.cpp is
+    the authoritative data, so that is what this prints.)"""
+    import numpy as np
+    from reseek_tpu.data.tables import get_tables
+
+    t = get_tables()
+    mu = t.mu_score_mx.astype(np.float32)
+
+    def half_down(x):
+        # the shipped int table rounds exact halves DOWN
+        # (-0.5 -> -1, 0.5 -> 0 in mumx_data.cpp)
+        return int(np.ceil(x - 0.5))
+
+    int_tabs = (("Mu", t.mu_score_mx_int8),
+                ("Mu_x2", np.vectorize(half_down)(2.0 * mu)))
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        out.write("\nfloat ScoreMx_Mu[36][36] = {\n")
+        for i in range(36):
+            out.write("  {")
+            for j in range(36):
+                out.write(" %5.2ff," % mu[i, j])
+            out.write("  }, // %u\n" % i)
+        out.write("};\n")
+        for name, tab in int_tabs:
+            out.write("\n\nint IntScoreMx_%s[36][36] = {\n" % name)
+            for i in range(36):
+                out.write("  {")
+                for j in range(36):
+                    out.write(" %3d," % int(tab[i, j]))
+                out.write("  }, // %u\n" % i)
+            out.write("};\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_alignselfrev(args) -> int:
+    """-alignselfrev (src/alignselfrev.cpp:5-49): align every chain
+    against its own reversal with full SW (sensitive, UsePara off,
+    Omega 0, self-rev scores unset so RevDPScore = 0) and print the
+    standard TSV row per chain."""
+    from reseek_tpu.align.output import format_row, parse_columns
+    from reseek_tpu.align.pipeline import (EncodedChain, PairAligner,
+                                           encode_for_search)
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.encoder.dss import encode_chain, mu_kmers
+    from reseek_tpu.io.reader import read_chains
+
+    params = DSSParams.create("sensitive")
+    params.use_para = False
+    params.omega = 0.0
+    cols = parse_columns("std")
+    pa = PairAligner(params)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for c in read_chains(args.input):
+            q = encode_for_search(c, params, with_self_rev=False)
+            rev = c.reversed()
+            rev.label = c.label  # reference keeps the chain's label
+            rev_enc = encode_chain(rev)
+            t = EncodedChain(chain=rev, enc=rev_enc,
+                             profile=rev_enc.profile(params),
+                             mu_letters=rev_enc.mu_letters,
+                             mu_kmers=mu_kmers(rev_enc.mu_letters,
+                                               params.mkf_pattern))
+            res = pa.align_no_accel(q, t)
+            out.write(format_row(cols, res, q, t, True))
+            out.write("\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_mu_mapping(args) -> int:
+    """-mu_mapping (src/mu_mapping.cpp:7-44): table of the 36 Mu letters
+    decomposed into their sub-feature letters (Mu = SS3 + 3*NENSS3 +
+    9*RENDist4, src/dss.cpp:629-644).  (The reference command itself
+    dies on an assert — GetFeatureChar on sub-alphabet sizes — so there
+    is no binary golden; this prints the working table.)"""
+    chars = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghij"
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        out.write("Mu\tSS3\tNENSS3\tRENDist4\n")
+        for letter in range(36):
+            ss3 = letter % 3
+            nenss3 = (letter // 3) % 3
+            rendist4 = letter // 9
+            out.write("%c\t%c\t%c\t%c\n" % (chars[letter], chars[ss3],
+                                            chars[nenss3],
+                                            chars[rendist4]))
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_lddt_msa_foldmason(args) -> int:
+    """-lddt_msa_foldmason (src/lddt_msa_foldmason.cpp:6-30): whole-MSA
+    foldmason LDDT."""
+    import os as _os
+    from reseek_tpu.benchmarks.msa import lddt_foldmason
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    name = _os.path.splitext(_os.path.basename(args.msa))[0]
+    _msa, core_mask, matched, maps = _msta_setup(args.msa, chains,
+                                                 args.core)
+    lddt = lddt_foldmason(matched, maps, core_mask)
+    line = "LDDT_fm=%.4f\tMSA=%s\n" % (lddt, name)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(line)
+    print(line, end="", file=sys.stderr)
+    return 0
+
+
+def _batch_msa_cmd(args, metric: str) -> int:
+    """Shared body of lddt-msas / daliscore-msas
+    (src/lddt_msas.cpp:6-80, src/daliscore_msas.cpp:6-63)."""
+    import os as _os
+
+    from reseek_tpu.benchmarks.msa import (dali_score, dali_z,
+                                           lddt_msa_pair)
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    with open(args.accs) as f:
+        accs = [ln.strip() for ln in f if ln.strip()]
+    testdir = args.testdir.rstrip("/") + "/"
+    out = open(args.output, "w") if args.output else sys.stdout
+    total = 0.0
+    n_found = 0
+    try:
+        for acc in accs:
+            fn = testdir + acc
+            if not _os.path.exists(fn):
+                out.write(f"missing_aln={fn}\n")
+                continue
+            n_found += 1
+            msa, core_mask, matched, maps = _msta_setup(fn, chains,
+                                                        args.core)
+            v_sum = 0.0
+            np_pairs = 0
+            for i in range(len(msa)):
+                for j in range(i + 1, len(msa)):
+                    if i not in matched or j not in matched:
+                        continue
+                    ci, cj = matched[i], matched[j]
+                    np_pairs += 1
+                    if metric == "lddt":
+                        v_sum += lddt_msa_pair(ci, cj, maps[i], maps[j])
+                    else:
+                        both = (maps[i] >= 0) & (maps[j] >= 0)
+                        v_sum += dali_z(
+                            dali_score(ci, cj, maps[i][both],
+                                       maps[j][both]),
+                            len(ci), len(cj))
+            v = v_sum / np_pairs if np_pairs else 0.0
+            total += v
+            if metric == "lddt":
+                out.write("aln=%s\tLDDT_mu=%.4f" % (fn, v))
+                if args.core:
+                    out.write("\tnr_core_cols=%u" % int(core_mask.sum()))
+            else:
+                out.write("aln=%s\tZ=%.1f" % (fn, v))
+                if args.core:
+                    out.write("\tnr_core=%u" % int(core_mask.sum()))
+            out.write("\n")
+        mean = total / n_found if n_found else 0.0
+        if metric == "lddt":
+            out.write("testdir=%s\tavg_LDDT_mu=%.4f\n" % (testdir, mean))
+        else:
+            out.write("testdir=%s\tZ=%.1f\n" % (testdir, mean))
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_lddt_msas(args) -> int:
+    """-lddt_msas: batch MSA LDDT_mu over an accession list."""
+    return _batch_msa_cmd(args, "lddt")
+
+
+def cmd_daliscore_msas(args) -> int:
+    """-daliscore_msas: batch MSA DALI Z over an accession list.
+    (The reference's cmd_daliscore_msas has an inverted success check —
+    `if (Ok) Die(...)`, src/daliscore_msas.cpp:40-41 — so the binary
+    cannot actually run it; this implements the evident intent, with
+    row formats matching its fprintf strings.)"""
+    return _batch_msa_cmd(args, "dali")
+
+
 def cmd_mmseqs_index_dump(args) -> int:
     """-mmseqs_index_dump (src/mmseqs_index_dump.cpp:21-96): dump an
     MMseqs2/Foldseek hits DB (prefix + .index + .dbtype) as text —
@@ -1261,6 +1474,59 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("gunzip-lines",
+                       help="gunzip to text lines (reference "
+                            "-gunzip_lines)")
+    p.add_argument("input")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_gunzip_lines)
+
+    p = sub.add_parser("musubstmx",
+                       help="derive + print the Mu substitution matrix "
+                            "C tables (reference -musubstmx)")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_musubstmx)
+
+    p = sub.add_parser("alignselfrev",
+                       help="align each chain against its reversal "
+                            "(reference -alignselfrev)")
+    p.add_argument("input")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_alignselfrev)
+
+    p = sub.add_parser("mu-mapping",
+                       help="Mu letter -> sub-feature letters table "
+                            "(reference -mu_mapping)")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_mu_mapping)
+
+    p = sub.add_parser("lddt-msa-foldmason",
+                       help="whole-MSA foldmason LDDT (reference "
+                            "-lddt_msa_foldmason)")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True)
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_lddt_msa_foldmason)
+
+    p = sub.add_parser("lddt-msas",
+                       help="batch MSA LDDT_mu (reference -lddt_msas)")
+    p.add_argument("accs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--testdir", required=True)
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_lddt_msas)
+
+    p = sub.add_parser("daliscore-msas",
+                       help="batch MSA DALI Z (reference -daliscore_msas)")
+    p.add_argument("accs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--testdir", required=True)
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_daliscore_msas)
+
     p = sub.add_parser("mmseqs-index-dump",
                        help="dump an MMseqs2/Foldseek hits DB as text "
                             "(reference -mmseqs_index_dump)")
@@ -1487,7 +1753,9 @@ def _reference_style(argv: List[str]) -> List[str]:
             "chains2pdbs", "getchains", "bca-stats", "align-bags",
             "msta-score", "msta-scores", "float-feature-bins",
             "sscluster", "mmseqs-index-dump", "create-foldseekdb",
-            "convert-foldseekdb"}
+            "convert-foldseekdb", "alignselfrev", "mu-mapping",
+            "lddt-msa-foldmason", "lddt-msas", "daliscore-msas",
+            "gunzip-lines", "musubstmx"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

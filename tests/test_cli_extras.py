@@ -303,3 +303,28 @@ def test_mmseqs_index_dump(tmp_path):
                      "--output", str(out)]) == 0
     assert "2 records, 3 hits, 1 non-printing bytes" in err.getvalue()
     assert "q2\tt9@" in out.read_text()
+
+
+def test_musubstmx_and_gunzip_lines(tmp_path):
+    """musubstmx: emitted int table equals the shipped IntScoreMx_Mu;
+    gunzip-lines round-trips text."""
+    import gzip
+    import re
+
+    import numpy as np
+    from reseek_tpu.cli import main
+    from reseek_tpu.data.tables import get_tables
+    out = tmp_path / "mx.txt"
+    assert main(["musubstmx", "--output", str(out)]) == 0
+    txt = out.read_text()
+    sec = txt.split("int IntScoreMx_Mu[36][36]")[1].split("};")[0]
+    vals = np.array([int(x) for x in re.findall(r"(-?\d+),", sec)])
+    assert np.array_equal(vals.reshape(36, 36),
+                          get_tables().mu_score_mx_int8)
+
+    gz = tmp_path / "x.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("line1\nline2\n")
+    txtout = tmp_path / "x.txt"
+    assert main(["gunzip-lines", str(gz), "--output", str(txtout)]) == 0
+    assert txtout.read_text() == "line1\nline2\n"
