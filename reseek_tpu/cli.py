@@ -188,6 +188,51 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_postmufilter(args) -> int:
+    """-postmufilter (src/postmufilter.cpp:303-326): standalone stage 2
+    of the fast pipeline — read a prefilter TSV (the prefilter-mu
+    output: `prefilter<TAB>n` header then `tidx<TAB>nQ<TAB>q1 q2 ...`),
+    re-read surviving targets from the .bca and align them against the
+    query set with SENSITIVE parameters, emitting one row per hit."""
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.bca import BCAReader
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import (SearchDriver, SearchOptions,
+                                          _encode_all, _fast_align_host)
+
+    sens = DSSParams.create("sensitive")
+    queries = read_chains(args.input)
+    t2q = {}
+    with open(args.filin) as f:
+        header = f.readline().split()
+        if not header or header[0] != "prefilter":
+            raise SystemExit(f"{args.filin}: not a prefilter TSV")
+        for line in f:
+            parts = [int(x) for x in line.split()]
+            t2q[parts[0]] = parts[2: 2 + parts[1]]
+    options = SearchOptions(
+        columns=parse_columns(args.columns),
+        max_evalue=args.evalue if args.evalue is not None else 10.0,
+        mode="sensitive")
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        drv = SearchDriver(sens, options, out)
+        q_ecs = _encode_all(queries, sens, with_self_rev=False)
+
+        def survivors():
+            # filter-TSV line order (the reference scans lines in order)
+            with BCAReader(args.db) as r:
+                for tidx in t2q:
+                    yield tidx, r.read_chain(tidx)
+
+        _fast_align_host(drv, q_ecs, survivors(), t2q, sens)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
 def cmd_gunzip_lines(args) -> int:
     """-gunzip_lines (src/gzipfileio.cpp): gunzip to text lines."""
     import gzip
@@ -1474,6 +1519,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("postmufilter",
+                       help="stage 2 of the fast pipeline from a "
+                            "prefilter TSV (reference -postmufilter)")
+    p.add_argument("input", help="query structures")
+    p.add_argument("--db", required=True, help=".bca database")
+    p.add_argument("--filin", required=True,
+                   help="prefilter TSV (prefilter-mu output)")
+    p.add_argument("--output")
+    p.add_argument("--columns", default="std")
+    p.add_argument("--evalue", type=float)
+    p.set_defaults(func=cmd_postmufilter)
+
     p = sub.add_parser("gunzip-lines",
                        help="gunzip to text lines (reference "
                             "-gunzip_lines)")
@@ -1755,7 +1812,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "sscluster", "mmseqs-index-dump", "create-foldseekdb",
             "convert-foldseekdb", "alignselfrev", "mu-mapping",
             "lddt-msa-foldmason", "lddt-msas", "daliscore-msas",
-            "gunzip-lines", "musubstmx"}
+            "gunzip-lines", "musubstmx", "postmufilter"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

@@ -88,3 +88,20 @@ def test_prefilter_idxt_selection_golden():
             ref[tidx] = sorted(qs)
     assert int(header[1]) == len(ref)
     assert mine == ref
+
+
+def test_postmufilter_standalone():
+    """postmufilter (reference -postmufilter): stage 2 driven from the
+    committed reference prefilter TSV reproduces the committed reference
+    -fast output byte-for-byte."""
+    from reseek_tpu.cli import main
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "pmf.tsv")
+        rc = main(["postmufilter", Q10, "--db", Q100,
+                   "--filin",
+                   os.path.join(GOLDEN, "prefilter_idxt_q10_q100.tsv"),
+                   "--output", out])
+        assert rc == 0
+        with open(out) as f:
+            assert f.read() == _golden("fast_idxt_q10_q100.tsv")
