@@ -145,3 +145,59 @@ class Scop40Eval:
                     fl = line.rstrip("\n").split("\t")
                     yield fl[qcol], fl[tcol], float(fl[scol])
         return self.evaluate(gen())
+
+
+# ---------------------------------------------------------------------------
+# .bit hit dumps (SCOP40Bench::WriteBit/ReadBit, src/scop40bench.cpp:543-585):
+# uint32 DomCount, uint32 HitCount, uint32 dom1[Hits], uint32 dom2[Hits],
+# float32 score[Hits].  Dom indexing follows the lookup file's row order.
+
+def write_bit(path: str, n_doms: int, dom1, dom2, scores) -> None:
+    import numpy as np
+    with open(path, "wb") as f:
+        np.asarray([n_doms, len(dom1)], np.uint32).tofile(f)
+        np.asarray(dom1, np.uint32).tofile(f)
+        np.asarray(dom2, np.uint32).tofile(f)
+        np.asarray(scores, np.float32).tofile(f)
+
+
+def read_bit(path: str):
+    """Returns (n_doms, dom1 uint32[], dom2 uint32[], scores f32[])."""
+    import numpy as np
+    with open(path, "rb") as f:
+        hdr = np.fromfile(f, np.uint32, 2)
+        n_doms, n_hits = int(hdr[0]), int(hdr[1])
+        d1 = np.fromfile(f, np.uint32, n_hits)
+        d2 = np.fromfile(f, np.uint32, n_hits)
+        sc = np.fromfile(f, np.float32, n_hits)
+    if len(d1) != n_hits or len(sc) != n_hits:
+        raise ValueError(f"{path}: truncated .bit file")
+    return n_doms, d1, d2, sc
+
+
+def read_lookup_doms(path: str) -> List[str]:
+    """Dom names in lookup-file row order (the .bit dom index space,
+    SCOP40Bench::ReadLookup + AddDom)."""
+    doms = []
+    with open(path) as f:
+        for line in f:
+            doms.append(line.rstrip("\n").split("\t")[0])
+    return doms
+
+
+def read_hits_tsv(path: str, score_field: int = 2):
+    """Parse a hits file (query, target, score at `score_field`; spaces
+    treated as tabs, short lines skipped — SCOP40Bench::ReadHits,
+    src/readhits.cpp:53-110).  Labels truncate at '/'.  Returns
+    (dom1 list, dom2 list, score list)."""
+    d1, d2, sc = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").replace(" ", "\t").split("\t")
+            parts = [p for p in parts if p != ""]
+            if len(parts) <= score_field:
+                continue
+            d1.append(parts[0].split("/")[0])
+            d2.append(parts[1].split("/")[0])
+            sc.append(float(parts[score_field]))
+    return d1, d2, sc

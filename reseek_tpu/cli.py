@@ -188,6 +188,77 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_scop40bit(args) -> int:
+    """-scop40bit (src/scop40bit.cpp:6-16): hits TSV + lookup -> binary
+    .bit hit dump (benchmark checkpoint artifact)."""
+    from reseek_tpu.benchmarks.scop40 import (read_hits_tsv,
+                                              read_lookup_doms, write_bit)
+    doms = read_lookup_doms(args.lookup)
+    idx = {d: i for i, d in enumerate(doms)}
+    d1, d2, sc = read_hits_tsv(args.hits)
+    keep = [(idx[a], idx[b], s) for a, b, s in zip(d1, d2, sc)
+            if a in idx and b in idx]
+    write_bit(args.output, len(doms), [k[0] for k in keep],
+              [k[1] for k in keep], [k[2] for k in keep])
+    print(f"{len(keep)} hits, {len(doms)} doms -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_scop40bit2tsv(args) -> int:
+    """-scop40bit2tsv (src/scop40benchroc.cpp:681-723): .bit + lookup ->
+    `dom1<TAB>dom2<TAB>%.6g score` rows."""
+    from reseek_tpu.benchmarks.scop40 import (_sf, read_bit,
+                                              read_dom_scopid,
+                                              read_lookup_doms)
+    doms = read_lookup_doms(args.lookup)
+    scopids = read_dom_scopid(args.lookup)
+    # the reference stores "dom/SF" labels (AddDom,
+    # src/scop40bench.cpp:176)
+    labels = [f"{d}/{_sf(scopids[d])}" for d in doms]
+    n_doms, d1, d2, sc = read_bit(args.bit)
+    if n_doms != len(doms):
+        raise SystemExit(f"dom count mismatch: .bit {n_doms}, "
+                         f"lookup {len(doms)}")
+    with open(args.output, "w") as out:
+        for a, b, s in zip(d1, d2, sc):
+            out.write("%s\t%s\t%.6g\n" % (labels[a], labels[b], s))
+    print(f"{len(d1)} hits", file=sys.stderr)
+    return 0
+
+
+def cmd_scop40bit_roc(args) -> int:
+    """-scop40bit_roc (src/scop40benchroc.cpp:788-802): SEPQ/ROC report
+    from a .bit dump."""
+    from reseek_tpu.benchmarks.scop40 import (Scop40Eval, read_bit,
+                                              read_dom_scopid,
+                                              read_lookup_doms)
+    doms = read_lookup_doms(args.lookup)
+    n_doms, d1, d2, sc = read_bit(args.bit)
+    if n_doms != len(doms):
+        raise SystemExit("dom count mismatch")
+    ev = Scop40Eval(read_dom_scopid(args.lookup),
+                    scores_are_evalues=not args.scores_are_not_evalues)
+    res = ev.evaluate((doms[a], doms[b], float(s))
+                      for a, b, s in zip(d1, d2, sc))
+    print(res.summary())
+    return 0
+
+
+def cmd_scop40bench_tsv(args) -> int:
+    """-scop40bench_tsv (src/scop40benchroc.cpp:772-786): SEPQ/ROC
+    report from a hits TSV + lookup."""
+    from reseek_tpu.benchmarks.scop40 import (Scop40Eval,
+                                              read_dom_scopid,
+                                              read_hits_tsv)
+    d1, d2, sc = read_hits_tsv(args.hits)
+    ev = Scop40Eval(read_dom_scopid(args.lookup),
+                    scores_are_evalues=not args.scores_are_not_evalues)
+    res = ev.evaluate(zip(d1, d2, (float(s) for s in sc)))
+    print(res.summary())
+    return 0
+
+
 def cmd_postmufilter(args) -> int:
     """-postmufilter (src/postmufilter.cpp:303-326): standalone stage 2
     of the fast pipeline — read a prefilter TSV (the prefilter-mu
@@ -1519,6 +1590,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("scop40bit", help="hits TSV -> binary .bit dump "
+                                         "(reference -scop40bit)")
+    p.add_argument("hits")
+    p.add_argument("--lookup", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_scop40bit)
+
+    p = sub.add_parser("scop40bit2tsv",
+                       help=".bit dump -> hits TSV (reference "
+                            "-scop40bit2tsv)")
+    p.add_argument("bit")
+    p.add_argument("--lookup", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_scop40bit2tsv)
+
+    p = sub.add_parser("scop40bit-roc",
+                       help="SEPQ/ROC report from a .bit dump "
+                            "(reference -scop40bit_roc)")
+    p.add_argument("bit")
+    p.add_argument("--lookup", required=True)
+    p.add_argument("--scores-are-not-evalues", action="store_true")
+    p.set_defaults(func=cmd_scop40bit_roc)
+
+    p = sub.add_parser("scop40bench-tsv",
+                       help="SEPQ/ROC report from a hits TSV "
+                            "(reference -scop40bench_tsv)")
+    p.add_argument("hits")
+    p.add_argument("--lookup", required=True)
+    p.add_argument("--scores-are-not-evalues", action="store_true")
+    p.set_defaults(func=cmd_scop40bench_tsv)
+
     p = sub.add_parser("postmufilter",
                        help="stage 2 of the fast pipeline from a "
                             "prefilter TSV (reference -postmufilter)")
@@ -1812,7 +1914,8 @@ def _reference_style(argv: List[str]) -> List[str]:
             "sscluster", "mmseqs-index-dump", "create-foldseekdb",
             "convert-foldseekdb", "alignselfrev", "mu-mapping",
             "lddt-msa-foldmason", "lddt-msas", "daliscore-msas",
-            "gunzip-lines", "musubstmx", "postmufilter"}
+            "gunzip-lines", "musubstmx", "postmufilter", "scop40bit",
+            "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")
