@@ -188,6 +188,81 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_align_bag(args) -> int:
+    """-align_bag (src/align_bag.cpp:49-94): align exactly one chain
+    from each of two files through the MKF bag path (sensitive, UsePara
+    off, Omega 0) and print the pretty alignment."""
+    from reseek_tpu.align.mkf import align_mkf
+    from reseek_tpu.align.pipeline import encode_for_search
+    from reseek_tpu.align.prettyaln import pretty_aln
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+
+    params = DSSParams.create("sensitive")
+    params.use_para = False
+    params.omega = 0.0
+    qs = read_chains(args.input)
+    ts = read_chains(args.input2)
+    if len(qs) != 1 or len(ts) != 1:
+        raise SystemExit("align-bag needs exactly one chain per file")
+    q = encode_for_search(qs[0], params)
+    t = encode_for_search(ts[0], params)
+    res = align_mkf(q, t, params)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        if not res.path:
+            print("No alignment found", file=sys.stderr)
+        else:
+            pretty_aln(out, res, q, t, True)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_daliscore_tsv(args) -> int:
+    """-daliscore_tsv (src/daliscore_tsv.cpp:28-93): recompute DALI Z
+    for each row of a DALI-format TSV (9 fields; gapped rows in fields
+    8/9) and print `Zin Z labelQ labelR` per pair."""
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import dali_score, dali_z
+    from reseek_tpu.io.reader import read_chains
+
+    by_label = {c.label: c for c in read_chains(args.input)}
+    out = open(args.output, "w") if args.output else sys.stdout
+
+    def aligned_positions(row_q, row_r):
+        q = np.frombuffer(row_q.encode("ascii"), np.uint8)
+        r = np.frombuffer(row_r.encode("ascii"), np.uint8)
+        gap_q = (q == ord("-")) | (q == ord("."))
+        gap_r = (r == ord("-")) | (r == ord("."))
+        pos_q = np.cumsum(~gap_q) - 1
+        pos_r = np.cumsum(~gap_r) - 1
+        both = ~gap_q & ~gap_r
+        return pos_q[both], pos_r[both]
+
+    try:
+        with open(args.tsv) as f:
+            for line in f:
+                fields = line.rstrip("\n").split("\t")
+                if len(fields) != 9:
+                    raise SystemExit(
+                        f"expected 9 fields, got {len(fields)}")
+                lq, lr = fields[0], fields[1]
+                zin = float(fields[2])
+                cq = by_label.get(lq)
+                cr = by_label.get(lr)
+                if cq is None or cr is None:
+                    raise SystemExit(f"chain not found: {lq} / {lr}")
+                pq, pr = aligned_positions(fields[7], fields[8])
+                z = dali_z(dali_score(cq, cr, pq, pr), len(cq), len(cr))
+                out.write("%.1f %.1f %s %s\n" % (zin, z, lq, lr))
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
 def cmd_scop40bit(args) -> int:
     """-scop40bit (src/scop40bit.cpp:6-16): hits TSV + lookup -> binary
     .bit hit dump (benchmark checkpoint artifact)."""
@@ -1590,6 +1665,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global (NW) alignment with free terminal gaps")
     p.set_defaults(func=cmd_alignpair)
 
+    p = sub.add_parser("align-bag",
+                       help="MKF bag alignment of one chain pair "
+                            "(reference -align_bag)")
+    p.add_argument("input")
+    p.add_argument("--input2", required=True)
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_align_bag)
+
+    p = sub.add_parser("daliscore-tsv",
+                       help="recompute DALI Z per row of a DALI TSV "
+                            "(reference -daliscore_tsv)")
+    p.add_argument("tsv")
+    p.add_argument("--input", required=True, help="structures")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_daliscore_tsv)
+
     p = sub.add_parser("scop40bit", help="hits TSV -> binary .bit dump "
                                          "(reference -scop40bit)")
     p.add_argument("hits")
@@ -1915,7 +2006,8 @@ def _reference_style(argv: List[str]) -> List[str]:
             "convert-foldseekdb", "alignselfrev", "mu-mapping",
             "lddt-msa-foldmason", "lddt-msas", "daliscore-msas",
             "gunzip-lines", "musubstmx", "postmufilter", "scop40bit",
-            "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv"}
+            "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv",
+            "daliscore-tsv", "align-bag"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")
