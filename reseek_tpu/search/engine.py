@@ -1369,7 +1369,10 @@ class DeviceSelfSearch:
             ts, pv, ev = _vector_stats(best[:n], lddt[:n], sa, sb,
                                        la_v, lb_v)
             for kk in range(n):
-                if best[kk] <= 0:
+                if best[kk] <= 0 or skip[kk]:
+                    # no alignment, or best-case E already above the emit
+                    # gate: the emitter would reject the row either way,
+                    # so skip even the path decode / result construction
                     continue
                 i, j = int(chunk[kk, 0]), int(chunk[kk, 1])
                 codes = path_rev[kk, :plen[kk]][::-1]
@@ -1379,9 +1382,6 @@ class DeviceSelfSearch:
                     fwd_score=float(best[kk]), lo_a=int(lo_a[kk]),
                     lo_b=int(lo_b[kk]), path=path)
                 gate_fwd = np.float32(best[kk])
-                if skip[kk]:
-                    results[(i, j)] = res  # below the emit gate: no stats
-                    continue
                 if fwd_rec[kk]:
                     gate_fwd = np.float32(_exact_fwd_score(
                         p, self.ecs[i].profile, self.ecs[j].profile))
