@@ -78,3 +78,30 @@ def test_merge_topk_synthetic_ties():
 
     got = merge_topk_sharded(_mesh(n_dev), "db", sv, ti, top_b)
     assert got == want
+
+
+def test_multihost_degenerate_process():
+    """Multi-host orchestration (parallel/multihost.py) with the
+    single-process degenerate case + virtual mesh: shard bounds tile the
+    DB, and distributed_prefilter's global selection equals the
+    single-host prefilter."""
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.parallel.multihost import (distributed_prefilter,
+                                               host_shard_bounds,
+                                               init_distributed)
+    from reseek_tpu.search.prefilter import prefilter_search
+
+    pid, nproc = init_distributed()
+    assert (pid, nproc) == (0, 1)
+    assert host_shard_bounds(100, 0, 1) == (0, 100)
+    b = [host_shard_bounds(101, i, 4) for i in range(4)]
+    assert b[0][0] == 0 and b[-1][1] == 101
+    assert all(b[i][1] == b[i + 1][0] for i in range(3))
+
+    q_mu = [encode_chain(c).mu_letters for c in read_bca(Q10)]
+    t_mu = [encode_chain(c).mu_letters for c in read_bca(Q100)]
+    lo, hi = host_shard_bounds(len(t_mu), pid, nproc)
+    merged = distributed_prefilter(q_mu, t_mu[lo:hi], lo, _mesh(8))
+    single = prefilter_search(q_mu, list(enumerate(t_mu)))
+    assert merged.query_targets == single.query_targets
