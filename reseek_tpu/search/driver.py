@@ -674,11 +674,14 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
                        options: SearchOptions, mesh=None) -> None:
     """Stage 2 of the fast pipeline on the batched device engine
     (PostMuFilter's parallel ChainBag scan, src/postmufilter.cpp:116-208,
-    re-cast as device batches): one combined DeviceSelfSearch over
-    queries + surviving targets; per-(target, query) candidate pairs run
-    Mu filter -> fused SW/LDDT on device; long (MKF-routed) pairs on the
-    host thread pool.  Emission order matches the host path: per target
-    ascending, its listed queries in order, up=True rows."""
+    re-cast as device batches): surviving targets are processed in
+    chunks (memory O(queries + chunk), like the reference's streaming
+    scan); per chunk, one combined DeviceSelfSearch over queries +
+    chunk targets runs the Mu filter -> fused SW/LDDT on device, long
+    (MKF-routed) pairs on the host thread pool.  Emission order matches
+    the host path: per target ascending, its listed queries in order,
+    up=True rows."""
+    import itertools
     import math
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
@@ -688,68 +691,77 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
     from reseek_tpu.search.engine import DeviceSelfSearch, configure_jax
     configure_jax()
 
-    pairs_list = [(tidx, c) for tidx, c in survivor_iter]
-    t_ecs = _encode_all([c for _, c in pairs_list], sens,
-                        with_self_rev=False)
-    t_order = [tidx for tidx, _ in pairs_list]
-    tpos = {tidx: k for k, tidx in enumerate(t_order)}
-
-    ecs = list(q_ecs) + list(t_ecs)
+    chunk_size = int(os.environ.get("RESEEK_FAST_CHUNK", "4096"))
     nq = len(q_ecs)
-    pipe = DeviceSelfSearch(ecs, sens, with_rev_profiles=False, mesh=mesh)
-    lens = np.array([len(ec) for ec in ecs])
-
-    # candidate pairs (query side = A, reference orientation of
-    # PostMuFilter's AlignBags)
-    pairs = np.array([(qi, nq + tpos[tidx])
-                      for tidx in t_order for qi in t2q[tidx]],
-                     np.int64).reshape(-1, 2)
-    is_long = ((lens[pairs[:, 0]] >= sens.mkfl)
-               | (lens[pairs[:, 1]] >= sens.mkfl))
-
+    need_all = (options.scores_are_not_evalues
+                or math.isinf(options.max_evalue))
     pool = ThreadPoolExecutor(
         max_workers=max(1, min(32, (_os.cpu_count() or 4) - 1)))
     try:
-        # self-rev on the host thread pool (native exact SW), overlapped
-        # with the device Mu filter below
-        sr_futs = {i: pool.submit(self_rev_score, ecs[i], sens)
-                   for i, ec in enumerate(ecs)
+        sr_futs = {i: pool.submit(self_rev_score, q_ecs[i], sens)
+                   for i, ec in enumerate(q_ecs)
                    if ec.self_rev_score == _FLT_MAX}
-
-        # device Mu filter on short pairs (overlaps the self-rev work)
-        dev_pairs = pairs[~is_long]
-        mu_vals = {}
-        if sens.omega > 0 and len(dev_pairs):
-            mu = pipe.stage1_scores(dev_pairs)
-            if "muscore" in options.columns:
-                mu_vals = {(int(a), int(b)): float(v)
-                           for (a, b), v in zip(dev_pairs, mu)}
-            dev_pairs = dev_pairs[mu >= sens.omega]
-
         for i, f in sr_futs.items():
-            ecs[i].self_rev_score = f.result()
+            q_ecs[i].self_rev_score = f.result()
 
-        mkf_futs = [(int(a), int(b),
-                     pool.submit(drv.aligner.align, ecs[a], ecs[b]))
-                    for a, b in pairs[is_long]]
-        need_all = (options.scores_are_not_evalues
-                    or math.isinf(options.max_evalue))
-        by_pair = pipe.align_survivors(
-            dev_pairs, need_all_paths=need_all,
-            evalue_gate=None if need_all else options.max_evalue)
-        for a, b, f in mkf_futs:
-            res = f.result()
-            if res is not None and res.path:
-                by_pair[(a, b)] = res
-        for key, v in mu_vals.items():
-            if key in by_pair:
-                by_pair[key].mu_score = v
+        while True:
+            chunk = list(itertools.islice(survivor_iter, chunk_size))
+            if not chunk:
+                break
+            t_ecs = _encode_all([c for _, c in chunk], sens,
+                                with_self_rev=False)
+            t_order = [tidx for tidx, _ in chunk]
+            tpos = {tidx: k for k, tidx in enumerate(t_order)}
+            ecs = list(q_ecs) + list(t_ecs)
+            pipe = DeviceSelfSearch(ecs, sens, with_rev_profiles=False,
+                                    mesh=mesh)
+            lens = np.array([len(ec) for ec in ecs])
+
+            # candidate pairs (query side = A, reference orientation of
+            # PostMuFilter's AlignBags)
+            pairs = np.array([(qi, nq + tpos[tidx])
+                              for tidx in t_order for qi in t2q[tidx]],
+                             np.int64).reshape(-1, 2)
+            is_long = ((lens[pairs[:, 0]] >= sens.mkfl)
+                       | (lens[pairs[:, 1]] >= sens.mkfl))
+
+            # self-rev for the chunk's targets, overlapped with the
+            # device Mu filter below
+            sr_futs = {i: pool.submit(self_rev_score, ecs[i], sens)
+                       for i, ec in enumerate(ecs)
+                       if ec.self_rev_score == _FLT_MAX}
+
+            dev_pairs = pairs[~is_long]
+            mu_vals = {}
+            if sens.omega > 0 and len(dev_pairs):
+                mu = pipe.stage1_scores(dev_pairs)
+                if "muscore" in options.columns:
+                    mu_vals = {(int(a), int(b)): float(v)
+                               for (a, b), v in zip(dev_pairs, mu)}
+                dev_pairs = dev_pairs[mu >= sens.omega]
+
+            for i, f in sr_futs.items():
+                ecs[i].self_rev_score = f.result()
+
+            mkf_futs = [(int(a), int(b),
+                         pool.submit(drv.aligner.align, ecs[a], ecs[b]))
+                        for a, b in pairs[is_long]]
+            by_pair = pipe.align_survivors(
+                dev_pairs, need_all_paths=need_all,
+                evalue_gate=None if need_all else options.max_evalue)
+            for a, b, f in mkf_futs:
+                res = f.result()
+                if res is not None and res.path:
+                    by_pair[(a, b)] = res
+            for key, v in mu_vals.items():
+                if key in by_pair:
+                    by_pair[key].mu_score = v
+
+            for tidx in t_order:
+                t_ec = t_ecs[tpos[tidx]]
+                for qi in t2q[tidx]:
+                    res = by_pair.get((qi, nq + tpos[tidx]))
+                    if res is not None and res.path:
+                        drv.emit(res, q_ecs[qi], t_ec, True)
     finally:
         pool.shutdown(wait=True)
-
-    for tidx in t_order:
-        t_ec = t_ecs[tpos[tidx]]
-        for qi in t2q[tidx]:
-            res = by_pair.get((qi, nq + tpos[tidx]))
-            if res is not None and res.path:
-                drv.emit(res, q_ecs[qi], t_ec, True)
