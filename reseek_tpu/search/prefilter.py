@@ -360,7 +360,15 @@ def read_mu_fasta(path: str) -> Tuple[List[str], List[np.ndarray]]:
 
 class RankedScoresBag:
     """Per-query top-B target selection (src/rankedscoresbag.cpp) over
-    accumulated (query, target, score) chunks."""
+    accumulated (query, target, score) chunks.
+
+    Memory is bounded like the reference's lazy 2B truncation
+    (rankedscoresbag.h:23): once the accumulated rows exceed a
+    compaction threshold, each query's list is cut to its top-B (score
+    desc, tidx asc — same order as finish(), so compaction never changes
+    the final selection)."""
+
+    COMPACT_ROWS = 1 << 22
 
     def __init__(self, n_queries: int, top_b: int = RSB_SIZE):
         self.n_queries = n_queries
@@ -368,6 +376,7 @@ class RankedScoresBag:
         self._q: List[np.ndarray] = []
         self._t: List[np.ndarray] = []
         self._s: List[np.ndarray] = []
+        self._rows = 0
 
     def add_chunk(self, q: np.ndarray, t: np.ndarray,
                   s: np.ndarray) -> None:
@@ -375,22 +384,42 @@ class RankedScoresBag:
             self._q.append(np.asarray(q, np.int64))
             self._t.append(np.asarray(t, np.int64))
             self._s.append(np.asarray(s, np.int64))
+            self._rows += len(q)
+            if (self._rows > self.COMPACT_ROWS
+                    and self._rows > 2 * self.top_b * self.n_queries):
+                self._compact()
+
+    def _sorted_topb(self):
+        """(q, t, s) concatenated, ordered (q asc, score desc, tidx asc)
+        and cut to top-B per query."""
+        q = np.concatenate(self._q)
+        t = np.concatenate(self._t)
+        s = np.concatenate(self._s)
+        order = np.lexsort((t, -s, q))
+        q, t, s = q[order], t[order], s[order]
+        starts = np.searchsorted(q, np.arange(self.n_queries))
+        ends = np.searchsorted(q, np.arange(self.n_queries), "right")
+        keep = np.zeros(len(q), bool)
+        for qi in range(self.n_queries):
+            a = int(starts[qi])
+            b = min(int(ends[qi]), a + self.top_b)
+            keep[a:b] = True
+        return q[keep], t[keep], s[keep]
+
+    def _compact(self) -> None:
+        q, t, s = self._sorted_topb()
+        self._q, self._t, self._s = [q], [t], [s]
+        self._rows = len(q)
 
     def finish(self) -> PrefilterResult:
         out: List[List[Tuple[int, int]]] = [
             [] for _ in range(self.n_queries)]
         if self._q:
-            q = np.concatenate(self._q)
-            t = np.concatenate(self._t)
-            s = np.concatenate(self._s)
-            # per query: by score desc, tidx asc; take top B
-            order = np.lexsort((t, -s, q))
-            q, t, s = q[order], t[order], s[order]
+            q, t, s = self._sorted_topb()
             starts = np.searchsorted(q, np.arange(self.n_queries))
             ends = np.searchsorted(q, np.arange(self.n_queries), "right")
             for qi in range(self.n_queries):
                 a, b = int(starts[qi]), int(ends[qi])
-                b = min(b, a + self.top_b)
                 out[qi] = [(int(t[i]), int(s[i])) for i in range(a, b)]
         return PrefilterResult(query_targets=out)
 
