@@ -118,3 +118,22 @@ def test_scop40_scale_prefilter_parity():
     assert len(sym) <= 4
     for k in sym:
         assert (ref.get(k, ours.get(k))) == boundary
+
+
+def test_rankedscoresbag_compaction():
+    """Periodic top-B compaction never changes the final selection
+    (reference lazy-2B truncation semantics, rankedscoresbag.h:23)."""
+    import numpy as np
+    from reseek_tpu.search.prefilter import RankedScoresBag
+    rng = np.random.default_rng(0)
+    a = RankedScoresBag(5, top_b=7)
+    b = RankedScoresBag(5, top_b=7)
+    a.COMPACT_ROWS = 10  # force frequent compaction
+    for _ in range(60):
+        n = int(rng.integers(1, 30))
+        q = rng.integers(0, 5, n)
+        t = rng.integers(0, 1000, n)
+        s = rng.integers(0, 50, n)
+        a.add_chunk(q, t, s)
+        b.add_chunk(q, t, s)
+    assert a.finish().query_targets == b.finish().query_targets
