@@ -161,7 +161,31 @@ def cmd_search(args) -> int:
     options.aln_out = aln
     try:
         chains = _read_chains_or_artifact(args.input, params)
-        if args.db and mode == "fast":
+        if args.db and mode == "fast" and args.nprocs > 1:
+            # multi-host pipeline: every host runs this same command with
+            # its own --procid; rank 0 writes the merged output
+            # (parallel/multihost.py steps 1-4)
+            import os as _os
+            import tempfile
+            from reseek_tpu.parallel.multihost import (
+                distributed_fast_search, init_distributed)
+            pf_mode = ("idxq" if args.idxq
+                       else "idxt" if args.idxt else None)
+            pid, _n = init_distributed(
+                coordinator=args.coord
+                or _os.environ.get("JAX_COORDINATOR_ADDRESS"),
+                num_processes=args.nprocs,
+                process_id=args.procid if args.procid is not None
+                else int(_os.environ.get("JAX_PROCESS_ID", "0")))
+            scratch = args.scratch or (
+                _os.path.dirname(_os.path.abspath(args.output))
+                if args.output else tempfile.gettempdir())
+            drv = distributed_fast_search(
+                chains, args.db, options, out if pid == 0 else None,
+                scratch_dir=scratch, dbmu=args.dbmu,
+                prefilter_mode=pf_mode,
+                engine="device" if args.engine == "device" else "host")
+        elif args.db and mode == "fast":
             from reseek_tpu.search.driver import fast_search
             pf_mode = ("idxq" if args.idxq
                        else "idxt" if args.idxt else None)
@@ -1654,6 +1678,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label1", help="with --label2: log a full pipeline "
                                     "trace for this chain pair")
     p.add_argument("--label2")
+    p.add_argument("--nprocs", type=int, default=1,
+                   help="multi-host run: total process count (every host "
+                        "runs the same command; requires --fast --db)")
+    p.add_argument("--procid", type=int, default=None,
+                   help="multi-host run: this process's rank "
+                        "(default: $JAX_PROCESS_ID)")
+    p.add_argument("--coord", default=None,
+                   help="multi-host run: coordinator host:port "
+                        "(default: $JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--scratch", default=None,
+                   help="multi-host run: shared scratch dir for per-host "
+                        "row files (default: alongside --output)")
     p.set_defaults(func=cmd_search)
 
     p = sub.add_parser("alignpair", help="align best chain pair of two files")

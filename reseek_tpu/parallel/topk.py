@@ -101,6 +101,58 @@ def merge_topk_sharded(mesh, axis: str,
     return out
 
 
+def merge_topk_distributed(mesh, axis: str,
+                           local_scores: List[np.ndarray],
+                           local_tidx: List[np.ndarray],
+                           top_b: int) -> List[List[Tuple[int, int]]]:
+    """Multi-controller variant of merge_topk_sharded: each PROCESS passes
+    only the shards of its own addressable mesh devices (in mesh order);
+    the collective all-gather runs over the global mesh, so every process
+    returns the identical global per-query top-B.
+
+    All shards must be padded to exactly [nq, top_b] (PAD_SCORE /
+    2^31-1), because processes cannot negotiate a common b_local.  With a
+    single process this reduces to merge_topk_sharded semantics.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_local = len(local_scores)
+    assert n_local >= 1
+    nq, b = local_scores[0].shape
+    assert b == top_b, f"shards must be padded to top_b ({b} != {top_b})"
+    n_dev = mesh.devices.size
+    sh = NamedSharding(mesh, P(axis))
+    loc_sv = np.stack(local_scores).astype(np.int32)
+    loc_ti = np.stack(local_tidx).astype(np.int32)
+    gshape = (n_dev, nq, top_b)
+    sv = jax.make_array_from_process_local_data(sh, loc_sv, gshape)
+    ti = jax.make_array_from_process_local_data(sh, loc_ti, gshape)
+    fn = _merge_fn(mesh, axis, nq, top_b, top_b)
+    tv, tidx = fn(sv, ti)
+    tv = np.asarray(tv.addressable_data(0))[0]
+    tidx = np.asarray(tidx.addressable_data(0))[0]
+    out: List[List[Tuple[int, int]]] = []
+    for qi in range(nq):
+        keep = tv[qi] > PAD_SCORE
+        out.append([(int(t), int(s))
+                    for t, s in zip(tidx[qi][keep], tv[qi][keep])])
+    return out
+
+
+def pad_topk_lists(query_targets, nq: int, top_b: int):
+    """PrefilterResult.query_targets -> padded ([nq, top_b] scores,
+    [nq, top_b] global target idx) for the distributed merge."""
+    sv = np.full((nq, top_b), PAD_SCORE, np.int32)
+    ti = np.full((nq, top_b), np.int32(2**31 - 1), np.int32)
+    for qi, lst in enumerate(query_targets):
+        for k, (t, s) in enumerate(lst[:top_b]):
+            sv[qi, k] = s
+            ti[qi, k] = t
+    return sv, ti
+
+
 def sharded_prefilter_search(query_mu, target_mu_list, mesh,
                              axis: str = "db", top_b: int = 1500,
                              mode=None, ascii_roundtrip: bool = True):

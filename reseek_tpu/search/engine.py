@@ -1101,6 +1101,37 @@ class DeviceSelfSearch:
         return out
 
     # -- stage 1: Mu filter bits over all device pairs -------------------
+    def stage1_block_plan(self) -> "Dict[Tuple[int, int, int], list]":
+        """Stage-1 launch plan: {(le, ca, cb): [(ba, bb, a1, b1), ...]} —
+        every (ca x cb) pair block over the device-eligible bucket ranges,
+        grouped by compiled shape.  Blocks from different bucket
+        combinations share (le, ca, cb), so one lax.map kernel runs a
+        whole group in a single launch.  Both sides pad to the LARGER
+        bucket's 128-aligned edge (one compiled shape per edge — remote
+        compiles are minutes); block dims clamp to the range sizes (pow2)
+        so tiny buckets don't pad to full blocks.  Exposed for tools that
+        account DP cells / launch counts (tools/bench_device_scale.py)."""
+        groups: Dict[Tuple[int, int, int], list] = {}
+        dev = self._device_ranges()
+        for ai, a0, a1 in dev:
+            for bi_, b0, b1 in dev:
+                if bi_ < ai:
+                    continue
+                le = self.edges[bi_]
+                budget = max(256, STAGE1_CELLS // (le * le))
+                ca = 8
+                while ca < min(64, a1 - a0, budget):
+                    ca *= 2
+                cb = 8
+                while cb < min(512, b1 - b0, max(8, budget // ca)):
+                    cb *= 2
+                for ba in range(a0, a1, ca):
+                    for bb in range(b0, b1, cb):
+                        if bb + cb > ba:  # skip below-diagonal blocks
+                            groups.setdefault((le, ca, cb), []).append(
+                                (ba, bb, a1, b1))
+        return groups
+
     def stage1_survivors(self) -> np.ndarray:
         """(i, j) ORIGINAL-index pairs (i <= j) passing the Mu filter, for
         all pairs with both chains below mkfl.  With omega == 0 the filter
@@ -1124,34 +1155,7 @@ class DeviceSelfSearch:
             import jax.numpy as jnp
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             jobs = []  # (handle, [(ba, bb)] per row, ca, cb)
-            # collect every block start grouped by compiled shape: blocks
-            # from different bucket combinations share (le, ca, cb), so
-            # one lax.map kernel runs them all in a single launch
-            groups: Dict[Tuple[int, int, int], list] = {}
-            for ai, a0, a1 in dev:
-                for bi_, b0, b1 in dev:
-                    if bi_ < ai:
-                        continue
-                    # pad both sides to the LARGER bucket's 128-aligned
-                    # edge: one compiled shape per edge instead of one per
-                    # (la, lb) combination (remote compiles are minutes).
-                    # Block dims clamp to the RANGE sizes (pow2) so tiny
-                    # buckets don't pad to full blocks — at edge 1024 a
-                    # 7-chain bucket in a 64x8 block would be ~95%
-                    # padding, all of it real smx HBM traffic.
-                    le = self.edges[bi_]
-                    budget = max(256, STAGE1_CELLS // (le * le))
-                    ca = 8
-                    while ca < min(64, a1 - a0, budget):
-                        ca *= 2
-                    cb = 8
-                    while cb < min(512, b1 - b0, max(8, budget // ca)):
-                        cb *= 2
-                    for ba in range(a0, a1, ca):
-                        for bb in range(b0, b1, cb):
-                            if bb + cb > ba:  # skip below-diagonal blocks
-                                groups.setdefault((le, ca, cb), []).append(
-                                    (ba, bb, a1, b1))
+            groups = self.stage1_block_plan()
             for (le, ca, cb), starts in groups.items():
                 if self.mesh is None:
                     k = 1
