@@ -254,3 +254,128 @@ def score_msa(msa_path: str, chains: Sequence[Chain], metric: str = "lddt",
                 total += z
             count += 1
     return out, (total / count if count else 0.0)
+
+
+# --------------------------------------------------------------------------
+# Windowed per-column LDDT (-msta_lddtmuw / -msta_lddtmuw1,
+# src/msta_lddtmuw.cpp / src/msta_lddtmuw1.cpp)
+# --------------------------------------------------------------------------
+
+_DBL_MAX = float(np.finfo(np.float64).max)
+
+
+def dist_mx_window(dist: np.ndarray, pos: int, w: int) -> np.ndarray:
+    """DALIScorer::GetDistMxWindow (src/msta_lddtmuw1.cpp:72-104):
+    (2w+1)x(2w+1) slice of the chain distance matrix centred at pos,
+    DBL_MAX outside the chain, 0 diagonal."""
+    n = 2 * w + 1
+    L = dist.shape[0]
+    mx = np.full((n, n), _DBL_MAX)
+    np.fill_diagonal(mx, 0.0)
+    if pos < 0:  # gap column: UINT_MAX position -> everything off-chain
+        return mx
+    for i in range(n):
+        pi = pos - w + i
+        if pi < 0 or pi >= L:
+            continue
+        for j in range(i + 1, n):
+            pj = pos - w + j
+            if pj < 0 or pj >= L:
+                continue
+            mx[i, j] = mx[j, i] = float(dist[pi, pj])
+    return mx
+
+
+def lddt_score_window(mx1: np.ndarray, mx2: np.ndarray, w: int) -> float:
+    """DALIScorer::GetLDDTScoreWindow (src/msta_lddtmuw1.cpp:20-70),
+    ported VERBATIM including the reference's unsigned-index quirk: the
+    inner loop runs `jj` from the UNSIGNED window index i+2 (not the
+    signed offset ii+2), so for w=2 exactly one distance pair
+    (pos-2, pos+2) is evaluated per window."""
+    total = 0.0
+    nr_cols = 0
+    for ii in range(-w, w + 1):
+        i = ii + w
+        for jj in range(i + 2, w + 1):
+            j = jj + w
+            nr_cols += 1
+            d1 = mx1[i, j]
+            d2 = mx2[i, j]
+            if d1 == _DBL_MAX or d2 == _DBL_MAX:
+                continue
+            if d1 > LDDT_R0:
+                continue
+            diff = abs(d1 - d2)
+            nr_preserved = sum(1 for t in LDDT_THRESHOLDS if diff <= t)
+            total += nr_preserved / len(LDDT_THRESHOLDS)
+    return total / nr_cols if nr_cols else 0.0
+
+
+class LddtMuW:
+    """Per-column windowed LDDT over an MSA (DALIScorer::GetLDDTMuWCol /
+    GetLDDTMuW1).  maps[s][col] = ungapped position or -1; dist matrices
+    computed lazily per chain."""
+
+    def __init__(self, msa, matched, maps):
+        self.msa = msa
+        self.matched = matched
+        self.maps = maps
+        self._dists = {}
+
+    def _dist(self, s):
+        if s not in self._dists:
+            self._dists[s] = self.matched[s].dist_matrix().astype(
+                np.float64)
+        return self._dists[s]
+
+    def col_score(self, col: int, w: int) -> float:
+        """GetLDDTMuWCol (src/msta_lddtmuw.cpp:27-65): mean pair window
+        score over ALL seq pairs (the reference divides by the full pair
+        count, not the number of scored pairs)."""
+        n_seq = len(self.msa)
+        mxs = {}
+        for s in range(n_seq):
+            if s not in self.matched:
+                continue
+            pos = int(self.maps[s][col])
+            if pos < 0:
+                continue
+            mxs[s] = dist_mx_window(self._dist(s), pos, w)
+        total = 0.0
+        for i in range(n_seq):
+            if i not in mxs:
+                continue
+            for j in range(i + 1, n_seq):
+                if j not in mxs:
+                    continue
+                total += lddt_score_window(mxs[i], mxs[j], w)
+        pair_count = n_seq * (n_seq - 1) // 2
+        return total / pair_count if pair_count else 0.0
+
+    def query_score(self, q_seq_idx: int, col: int, w: int) -> float:
+        """GetLDDTMuW1 (src/msta_lddtmuw1.cpp:106-141): mean window score
+        of the query column vs every other present sequence (divides by
+        the number actually scored)."""
+        pos_q = int(self.maps[q_seq_idx][col])
+        q_mx = dist_mx_window(self._dist(q_seq_idx), pos_q, w)
+        total, n = 0.0, 0
+        for s in range(len(self.msa)):
+            if s == q_seq_idx or s not in self.matched:
+                continue
+            pos = int(self.maps[s][col])
+            if pos < 0:
+                continue
+            total += lddt_score_window(
+                q_mx, dist_mx_window(self._dist(s), pos, w), w)
+            n += 1
+        return total / n if n else 0.0
+
+
+def lddt_muw_setup(msa_path: str, chains):
+    """Shared setup for the msta-lddtmuw commands: MSA rows, label->chain
+    match (sequence-identity fallback), per-seq col->pos maps."""
+    msa = read_msa_fasta(msa_path)
+    rows = [r for _, r in msa]
+    matched = _match_chains(msa, chains)
+    maps = [col_to_pos(r) for r in rows]
+    return LddtMuW(msa, matched, maps)

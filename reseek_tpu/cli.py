@@ -10,6 +10,7 @@ Usage:  python -m reseek_tpu <command> [args]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -1474,12 +1475,15 @@ def cmd_msa_score(args) -> int:
                 s, z = v
                 sum_score += s
                 out.write("%s\t%s\t%.3g\t%.1f\n" % (l1, l2, s, z))
-        n = sum(v is not None for _, _, v in rows)
+        # summary uses the MSA stem name and, for DALI, the TOTAL score
+        # (GetStemName + GetSumScore_Rows, src/daliscore_msa.cpp:25-49) —
+        # golden-tested vs the binary on the msta fixture
+        name = os.path.splitext(os.path.basename(args.msa))[0]
         if args.metric == "lddt":
-            out.write("LDDT=%.4f\tMSA=%s\n" % (mean, args.msa))
+            out.write("LDDT=%.4f\tMSA=%s\n" % (mean, name))
         else:
             out.write("Z=%.1f\tScore=%.1f\tMSA=%s\n"
-                      % (mean, sum_score / max(n, 1), args.msa))
+                      % (mean, sum_score, name))
     finally:
         if args.output:
             out.close()
@@ -1599,6 +1603,333 @@ def cmd_getchains(args) -> int:
     from reseek_tpu.io.reader import read_chains
     for c in read_chains(args.input):
         print(f"{c.label}\t{len(c)}")
+    return 0
+
+
+def cmd_tracealn(args) -> int:
+    """-tracealn (src/tracealn.cpp:11-89): per-pair pipeline trace of
+    every query x target pair in DEFAULT FAST params, logged in the
+    reference's exact format (golden-tested vs the reference binary's
+    -log output on q10 x q10)."""
+    from reseek_tpu.align.mkf import should_use_mkf
+    from reseek_tpu.align.pipeline import (FLT_MAX, PairAligner,
+                                           encode_for_search)
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.utils.logger import open_log
+
+    lg = open_log(args.log)
+    params = DSSParams.create("fast")
+    pa = PairAligner(params)
+    qs = [encode_for_search(c, params, with_self_rev=True)
+          for c in read_chains(args.input)]
+    ts = [encode_for_search(c, params, with_self_rev=True)
+          for c in read_chains(args.db)]
+    for q in qs:
+        for t in ts:
+            lg.log("\n______________________________________________\n")
+            lg.log("Q>%s(%u)\n" % (q.label, len(q)))
+            lg.log("T>%s(%u)\n" % (t.label, len(t)))
+            lg.log("SelfRevScoreQ=%.1f\n" % q.self_rev_score)
+            lg.log("SelfRevScoreT=%.1f\n" % t.self_rev_score)
+            res = pa.align(q, t)
+            path = res.path if res is not None else ""
+            fwd = res.fwd_score if res is not None else 0.0
+            e = res.evalue if res is not None else FLT_MAX
+            lg.log("Path=(%u)%.10s...\n" % (len(path), path[:10]))
+            if e > 1e5:
+                lg.log("EvalueA=%.3g\n" % e)
+            else:
+                lg.log("EvalueA=%.1f\n" % e)
+            lg.log("AlnFwdScore=%.3g\n" % fwd)
+            do_mkf = should_use_mkf(q, t, params)
+            lg.log("DoMKF=%c\n" % ("T" if do_mkf else "F"))
+            if do_mkf:
+                lg.log("m_MKF.BestChainScore=%d\n"
+                       % (res.best_chain_score if res else 0))
+                lg.log("m_XDropScore=%.1f\n" % fwd)
+            lg.log("Omega=%.1f\n" % params.omega)
+            lg.log("DoMuFilter=%c\n" % ("T" if params.omega > 0 else "F"))
+            ok = pa.mu_filter(q, t)
+            lg.log("MuFilterOk=%c\n" % ("T" if ok else "F"))
+    return 0
+
+
+def cmd_feature_stats(args) -> int:
+    """-feature_stats (src/features.cpp:59-71): list the feature registry
+    with trained-score-matrix availability (golden vs the binary)."""
+    import numpy as np
+    from reseek_tpu.constants import ALL_FEATURES
+    from reseek_tpu.data.tables import _NPZ
+    trained = {k[:-5] for k in np.load(_NPZ).files if k.endswith("_S_ij")}
+    for i, name in enumerate(ALL_FEATURES):
+        line = "[%2u]  %s" % (i, name)
+        if name not in trained:
+            line += "  < missing scoremx"
+        print(line)
+    return 0
+
+
+def cmd_test_gumbel(args) -> int:
+    """-test_gumbel (src/gumbel.cpp:230-251): self-test of the Gumbel
+    fitter — generate gumbel(mu=1.3, beta=0.8) on [-5, 20) step 0.1, fit,
+    print the recovered parameters.  NOTE: the reference binary's own
+    command currently dies upstream on its normalization assert
+    (src/gumbel.cpp:122 `feq(Sum, 1)`); this port fixes that and is
+    checked by parameter recovery instead of output parity."""
+    import numpy as np
+    from reseek_tpu.benchmarks.calibrate import fit_gumbel, gumbel_pdf
+    xs = np.arange(-5.0, 20.0, 0.1)
+    ys = gumbel_pdf(1.3, 0.8, xs)
+    mu, beta, scale = fit_gumbel(xs, ys)
+    print("FitScale %.3g, FitMu %.3g, FitBeta %.3g" % (scale, mu, beta))
+    return 0
+
+
+def cmd_scop40tsv2bit(args) -> int:
+    """-scop40tsv2bit (src/scop40benchroc.cpp:760-770): structures give
+    the dom list (labels `dom/cls.fold.sf.fam`), a hits TSV gives scored
+    pairs; writes the binary .bit hit dump and prints hit count +
+    sensitivity-to-first-FP.  NOTE: the reference binary's own command
+    segfaults upstream (SCOP40Bench::LoadDB invoked without search
+    params); this port is validated by .bit round-trip + Scop40Eval
+    self-consistency instead of output parity."""
+    from reseek_tpu.benchmarks.scop40 import Scop40Eval, write_bit
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    doms, dom2scopid = [], {}
+    for c in chains:
+        dom, _, scopid = c.label.partition("/")
+        doms.append(dom)
+        dom2scopid[dom] = scopid
+    idx = {d: i for i, d in enumerate(doms)}
+    score_col = (args.scorefieldnr - 1) if args.scorefieldnr else 2
+    d1, d2, sc = [], [], []
+    with open(args.hits) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            a = fields[0].partition("/")[0]
+            b = fields[1].partition("/")[0]
+            if a not in idx or b not in idx:
+                raise SystemExit(f"unknown dom in hits: {a} {b}")
+            d1.append(idx[a])
+            d2.append(idx[b])
+            sc.append(float(fields[score_col]))
+    if args.output:
+        write_bit(args.output, len(doms), d1, d2, sc)
+    ev = Scop40Eval(dom2scopid)
+    res = ev.evaluate((doms[a], doms[b], s)
+                      for a, b, s in zip(d1, d2, sc))
+    print(f"{len(d1)} hits, Sens1FP {res.n_first_fp}")
+    return 0
+
+
+def cmd_lddt_bench(args) -> int:
+    """-lddt_bench (src/lddt_bench.cpp:14-119): mean GetLDDT_mu_fast over
+    all MSA sequence pairs (column maps treat only '-' as gap, matching
+    the reference's raw row scan); prints `LDDT=%.4f MSA=%s`.  The
+    reference runs 20 timing iterations; the score is iteration-
+    independent so one pass is reported (it is a kernel benchmark)."""
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import read_msa_fasta
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.ops.lddt import lddt_mu_fast_np
+
+    msa = read_msa_fasta(args.msa)
+    chains = {c.label: c for c in read_chains(args.input)}
+    name = os.path.splitext(os.path.basename(args.msa))[0]
+    total, count = 0.0, 0
+    for i in range(len(msa)):
+        li, ri = msa[i]
+        for j in range(i + 1, len(msa)):
+            lj, rj = msa[j]
+            if li not in chains or lj not in chains:
+                raise SystemExit(f"structure_not_found {li} {lj}")
+            p1, p2 = [], []
+            a = b = 0
+            for c1, c2 in zip(ri, rj):
+                if c1 != "-" and c2 != "-":
+                    p1.append(a)
+                    p2.append(b)
+                if c1 != "-":
+                    a += 1
+                if c2 != "-":
+                    b += 1
+            total += lddt_mu_fast_np(chains[li].coords, chains[lj].coords,
+                                     np.array(p1, np.int64),
+                                     np.array(p2, np.int64))
+            count += 1
+    lddt = total / count if count else 0.0
+    print("LDDT=%.4f MSA=%s" % (lddt, name))
+    return 0
+
+
+
+
+_MUW_COLORS3 = {"h": "0,150,20", "s": "150,0,50", "t": "250,150,0",
+                "~": "150,150,150", "-": "255,255,255"}
+
+
+def _muw_smooth_s3(s3: list) -> None:
+    """SmoothS3 (src/msta_lddtmuw.cpp:159-193): isolated h/s columns take
+    their neighbors' class (or '~' when neighbors disagree)."""
+    n = len(s3)
+    for col in range(n):
+        c3 = s3[col]
+        if c3 not in ("s", "h"):
+            continue
+        prev = next_ = None
+        for i in range(col - 1, -1, -1):
+            if s3[i] not in "-.":
+                prev = s3[i]
+                break
+        for i in range(col + 1, n):
+            if s3[i] not in "-.":
+                next_ = s3[i]
+                break
+        if prev is None or next_ is None:
+            continue
+        if prev != c3 and next_ != c3:
+            s3[col] = prev if prev == next_ else "~"
+
+
+def cmd_msta_lddtmuw(args) -> int:
+    """-msta_lddtmuw (src/msta_lddtmuw.cpp:196-325): per-column windowed
+    LDDT of an MSA; writes a Jalview BAR_GRAPH annotation colored by the
+    SS3 consensus (--lddtmuw-jalview) and/or a PyMOL coloring script for
+    one query (--label + --lddtmuw-pymol).  Golden-tested vs the binary
+    on the msta fixture."""
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import lddt_muw_setup
+    from reseek_tpu.encoder.dss import (BAND_W, _banded_distances,
+                                        compute_ss)
+    from reseek_tpu.io.reader import read_chains
+
+    if args.lddtmuw_pymol and not args.label:
+        raise SystemExit("--lddtmuw-pymol requires --label")
+    chains = read_chains(args.input)
+    if len(chains) < 2:
+        raise SystemExit(f"need >= 2 structures in {args.input}")
+    muw = lddt_muw_setup(args.msa, chains)
+    w = args.window
+    n_cols = len(muw.msa[0][1]) if muw.msa else 0
+    scores = [muw.col_score(col, w) for col in range(n_cols)]
+
+    if args.lddtmuw_jalview:
+        # SS3 consensus per column over the SS-mapped MSA rows
+        ss_rows = []
+        for s, (_label, row) in enumerate(muw.msa):
+            if s not in muw.matched:
+                continue
+            c = muw.matched[s]
+            ss = "".join("hst~"[v] for v in compute_ss(
+                c.coords, _banded_distances(c.coords, BAND_W)))
+            out_row = []
+            pos = 0
+            for ch in row:
+                if ch in "-.":
+                    out_row.append(ch)
+                else:
+                    out_row.append(ss[pos])
+                    pos += 1
+            ss_rows.append(out_row)
+        s3 = []
+        for col in range(n_cols):
+            counts = {k: 0 for k in "hst~"}
+            for r in ss_rows:
+                if r[col] in counts:
+                    counts[r[col]] += 1
+            best, bc = "-", 0
+            for k in "hst~":
+                if counts[k] > bc:
+                    bc = counts[k]
+                    best = k
+            s3.append(best)
+        _muw_smooth_s3(s3)
+        with open(args.lddtmuw_jalview, "w") as f:
+            f.write("JALVIEW_ANNOTATION\n")
+            f.write("BAR_GRAPH\tLDDT-muw\t")
+            f.write("|".join("%.3f[%s]" % (scores[col],
+                                           _MUW_COLORS3[s3[col]])
+                             for col in range(n_cols)))
+            f.write("\n")
+
+    if args.label:
+        thresholds = [0.1 * k for k in range(1, 10)]
+
+        def get_bin(v):
+            for i, t in enumerate(thresholds):
+                if v <= t:
+                    return i
+            return len(thresholds)
+
+        q = next((s for s, (l, _r) in enumerate(muw.msa)
+                  if l == args.label), None)
+        if q is None:
+            raise SystemExit(f"label {args.label} not in MSA")
+        row = muw.msa[q][1]
+        bins = [get_bin(scores[col]) for col, ch in enumerate(row)
+                if ch not in "-."]
+        if args.lddtmuw_pymol and bins:
+            with open(args.lddtmuw_pymol, "w") as f:
+                f.write("select tmp, all\ncolor br0, tmp\n")
+                start, cur = 0, bins[0]
+                for pos in range(1, len(bins)):
+                    if bins[pos] != cur:
+                        f.write(f"select tmp, resi {start + 1}-{pos}\n")
+                        f.write(f"color br{cur}, tmp\n")
+                        start, cur = pos, bins[pos]
+                f.write(f"select tmp, resi {start + 1}-{len(bins)}\n")
+                f.write(f"color br{cur}, tmp\nselect none\n")
+    return 0
+
+
+def cmd_msta_lddtmuw1(args) -> int:
+    """-msta_lddtmuw1 (src/msta_lddtmuw1.cpp:143-239): per-position
+    windowed LDDT of one query sequence vs the rest of the MSA, with the
+    reference's quirk REPLICATED: the query position (not the column
+    index) is passed as the column to GetLDDTMuW1, so positions are
+    looked up at column = ungapped query position.  Golden-tested."""
+    from reseek_tpu.benchmarks.msa import lddt_muw_setup
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    muw = lddt_muw_setup(args.msa, chains)
+    q = next((s for s, (l, _r) in enumerate(muw.msa)
+              if l == args.label), None)
+    if q is None:
+        raise SystemExit(f"label {args.label} not in MSA")
+    row = muw.msa[q][1]
+    qseq = "".join(ch for ch in row if ch not in "-.").upper()
+
+    def symbol(v):
+        if v == 0:
+            return " "
+        if v < 0.2:
+            return "."
+        if v < 0.5:
+            return ":"
+        if v < 0.75:
+            return "|"
+        return "@"
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        vals = []
+        pos_q = 0
+        for ch in row:
+            if ch in "-.":
+                continue
+            v = muw.query_score(q, pos_q, args.window)  # quirk: col=pos
+            out.write("%u  %c  %.4f\n" % (pos_q, ch, v))
+            vals.append(v)
+            pos_q += 1
+        out.write(qseq + "\n")
+        out.write("".join(symbol(v) for v in vals) + "\n")
+    finally:
+        if args.output:
+            out.close()
     return 0
 
 
@@ -2023,6 +2354,61 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.set_defaults(func=cmd_getchains)
 
+    p = sub.add_parser("tracealn",
+                       help="per-pair pipeline trace (reference -tracealn)")
+    p.add_argument("input")
+    p.add_argument("--db", required=True)
+    p.add_argument("--log")
+    p.set_defaults(func=cmd_tracealn)
+
+    p = sub.add_parser("feature-stats",
+                       help="feature registry + trained-matrix status")
+    p.add_argument("input", nargs="?", help="ignored (reference arg slot)")
+    p.set_defaults(func=cmd_feature_stats)
+
+    p = sub.add_parser("test-gumbel",
+                       help="self-test of the Gumbel fitter")
+    p.add_argument("input", nargs="?", help="ignored (reference arg slot)")
+    p.set_defaults(func=cmd_test_gumbel)
+
+    p = sub.add_parser("scop40tsv2bit",
+                       help="hits TSV + structure labels -> .bit dump")
+    p.add_argument("hits")
+    p.add_argument("--input", required=True,
+                   help="structures with dom/scopid labels")
+    p.add_argument("--output")
+    p.add_argument("--scorefieldnr", type=int,
+                   help="1-based score column (default 3)")
+    p.set_defaults(func=cmd_scop40tsv2bit)
+
+    p = sub.add_parser("lddt-bench",
+                       help="mean fast-LDDT over all MSA pairs")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True)
+    p.add_argument("--missingtestseqok", action="store_true")
+    p.set_defaults(func=cmd_lddt_bench)
+
+
+
+    p = sub.add_parser("msta-lddtmuw",
+                       help="per-column windowed LDDT (Jalview/PyMOL)")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True)
+    p.add_argument("--window", type=int, default=2)
+    p.add_argument("--label")
+    p.add_argument("--lddtmuw-jalview", dest="lddtmuw_jalview")
+    p.add_argument("--lddtmuw-pymol", dest="lddtmuw_pymol")
+    p.set_defaults(func=cmd_msta_lddtmuw)
+
+    p = sub.add_parser("msta-lddtmuw1",
+                       help="per-position windowed LDDT of one query")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True)
+    p.add_argument("--label", required=True)
+    p.add_argument("--window", type=int, default=2)
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_msta_lddtmuw1)
+
     return ap
 
 
@@ -2043,7 +2429,9 @@ def _reference_style(argv: List[str]) -> List[str]:
             "lddt-msa-foldmason", "lddt-msas", "daliscore-msas",
             "gunzip-lines", "musubstmx", "postmufilter", "scop40bit",
             "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv",
-            "daliscore-tsv", "align-bag"}
+            "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
+            "test-gumbel", "scop40tsv2bit", "lddt-bench",
+            "msta-lddtmuw", "msta-lddtmuw1"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

@@ -209,6 +209,146 @@ def sw_score_sweep_pallas(s: jnp.ndarray, open_: float,
     return out[:, 0, :].reshape(bpad)[:b]
 
 
+# --------------------------------------------------------------------------
+# Fused-smx Pallas row-sweep: the substitution row is built INSIDE the
+# kernel, so the [B, LA, LB] substitution tensor never exists in HBM.
+# Inputs are the per-position score vectors emb[p, i, :] = mumx[a[p, i], :]
+# ([B, LA, 37] f32 — 37/LB the size of the full tensor) and the target
+# letters bl[p, j] ([B, LB] int32).  Each grid step reconstructs its K_ROWS
+# substitution rows with a select tree over the 37 letters: the letter
+# masks (bl == c) are computed once per step and shared by all K rows
+# (~(37 + 37*K)/K ≈ 42 VPU ops/cell vs ~8 B/cell of HBM traffic for the
+# materialized tensor — the 1k-chain profile showed HBM at 22% of peak vs
+# VPU at 8.6%, so trading bandwidth for VPU work wins ~2x).
+# Values are bit-identical to mu_smx_onehot + sweep: integer scores are
+# exact either way, and padding cells (letter 36 -> mumx row/col 36 =
+# NEG/2) are too negative to ever win the DP max.
+# --------------------------------------------------------------------------
+
+
+def _fused_bt_for(lb: int, k: int) -> int:
+    """Batch-tile under the VMEM budget: 4 f32 state arrays + k s-rows +
+    int32 letters + the (tiny) emb block, double-buffered inputs."""
+    per_pair = lb * 4 * (4 + k + 1) + k * 40 * 4 * 2
+    bt = max(8, (_SWEEP_VMEM // per_pair) // 8 * 8)
+    return int(min(bt, 256))
+
+
+def _fused_sweep_kernel(emb_ref, bl_ref, out_ref, h1, h2, e1, bestv, *,
+                        open_, ext, k, lb):
+    from jax.experimental import pallas as pl
+
+    dd = pl.program_id(1)
+    ndd = pl.num_programs(1)
+
+    @pl.when(dd == 0)
+    def _():
+        for r in (h1, h2, e1):
+            r[:] = jnp.full_like(r, NEG)
+        bestv[:] = jnp.zeros_like(bestv)
+
+    bl = bl_ref[:]
+    # substitution rows for this K-row block: shared-mask select tree
+    srows = [jnp.zeros_like(bl, jnp.float32) for _ in range(k)]
+    for c in range(37):
+        mask = bl == c
+        for kk in range(k):
+            srows[kk] = jnp.where(mask, emb_ref[:, kk, c][:, None],
+                                  srows[kk])
+
+    ke = (jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
+          .astype(jnp.float32) * np.float32(ext))
+    for kk in range(k):
+        s_row = srows[kk]
+        hp = h1[:]
+        a = _roll_right(hp, 2, NEG) + np.float32(open_) - ke
+        step = 1
+        while step < lb:
+            a = jnp.maximum(a, _roll_right(a, step, NEG))
+            step *= 2
+        f = a + ke
+        e = jnp.maximum(_roll_right(h2[:], 1, NEG) + np.float32(open_),
+                        e1[:] + np.float32(ext))
+        m = jnp.maximum(jnp.maximum(_roll_right(hp, 1, NEG), e),
+                        jnp.maximum(f, np.float32(0.0)))
+        h = m + s_row
+        h2[:] = hp
+        h1[:] = h
+        e1[:] = e
+        bestv[:] = jnp.maximum(bestv[:], h)
+
+    @pl.when(dd == ndd - 1)
+    def _():
+        out_ref[0, 0, :] = jnp.maximum(jnp.max(bestv[:], axis=1),
+                                       np.float32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("open_", "ext"))
+def mu_sw_score_fused_pallas(a: jnp.ndarray, b: jnp.ndarray,
+                             mumx_padded: jnp.ndarray, open_: float,
+                             ext: float) -> jnp.ndarray:
+    """Best local SW scores [B] for letter arrays a [B, LA], b [B, LB]
+    (letter 36 = padding), LB a multiple of 128.  Bit-equal to
+    sw_score_sweep(mu_smx_onehot(a, b, mumx_padded)) without ever
+    materializing the [B, LA, LB] substitution tensor."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, la = a.shape
+    lb = b.shape[1]
+    k = K_ROWS
+    # per-position substitution vectors: emb[p, i, :] = mumx[a[p, i], :]
+    emb = mumx_padded.astype(jnp.float32)[a]
+    la_pad = -(-la // k) * k
+    if la_pad != la:
+        # padding rows score NEG/2 everywhere (mumx row 36)
+        emb = jnp.pad(emb, ((0, 0), (0, la_pad - la), (0, 0)),
+                      constant_values=float(NEG) / 2)
+    bl = b.astype(jnp.int32)
+    bt = _fused_bt_for(lb, k)
+    nb = -(-bsz // bt)
+    bpad = nb * bt
+    if bpad != bsz:
+        emb = jnp.pad(emb, ((0, bpad - bsz), (0, 0), (0, 0)),
+                      constant_values=float(NEG) / 2)
+        bl = jnp.pad(bl, ((0, bpad - bsz), (0, 0)), constant_values=36)
+
+    kern = functools.partial(_fused_sweep_kernel, open_=np.float32(open_),
+                             ext=np.float32(ext), k=k, lb=lb)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb, la_pad // k),
+        in_specs=[pl.BlockSpec((bt, k, 37), lambda ib, dd: (ib, dd, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bt, lb), lambda ib, dd: (ib, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, bt), lambda ib, dd: (ib, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, bt), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, lb), jnp.float32)
+                        for _ in range(4)],
+        interpret=_interpret(),
+    )(emb, bl)
+    return out[:, 0, :].reshape(bpad)[:bsz]
+
+
+def mu_sw_scores(a: jnp.ndarray, b: jnp.ndarray,
+                 mumx_padded: jnp.ndarray, open_: float,
+                 ext: float) -> jnp.ndarray:
+    """Mu SW scores for letter-array pairs: the fused-smx Pallas kernel on
+    TPU (RESEEK_SW_FUSED=0 falls back to materialize+sweep), the scan
+    sweep elsewhere.  Identical values on every path."""
+    import os
+    impl = os.environ.get("RESEEK_SW", "auto")
+    fused = os.environ.get("RESEEK_SW_FUSED", "1") != "0"
+    if b.shape[-1] % 128 == 0 and fused and (
+            impl == "pallas" or (impl == "auto"
+                                 and jax.default_backend() == "tpu")):
+        return mu_sw_score_fused_pallas(a, b, mumx_padded, open_, ext)
+    return sw_score_sweep_auto(mu_smx_onehot(a, b, mumx_padded),
+                               open_, ext)
+
+
 def mu_smx_onehot(a: jnp.ndarray, b: jnp.ndarray,
                   mumx_padded: jnp.ndarray) -> jnp.ndarray:
     """S[b,i,j] = mumx[a[b,i], b[b,j]] via one-hot MXU matmuls; letter 36

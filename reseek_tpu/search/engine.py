@@ -540,7 +540,7 @@ def _stage1_body(le: int, ca: int, cb: int, open_: float,
     change the integer-exact DP best).  Returns packed pass bits
     [ca*cb//8]."""
     import jax.numpy as jnp
-    from reseek_tpu.ops.sw_sweep import mu_smx_onehot, sw_score_sweep_auto
+    from reseek_tpu.ops.sw_sweep import mu_sw_scores
 
     o = np.float32(open_)
     e = np.float32(ext)
@@ -558,10 +558,10 @@ def _stage1_body(le: int, ca: int, cb: int, open_: float,
         a = mu[idx_a][:, :le].astype(jnp.int32)
         ar = mu_rev[idx_a][:, :le].astype(jnp.int32)
         b = mu[idx_b][:, :le].astype(jnp.int32)
-        # fwd and rev in one kernel launch ([2B] batch)
-        both = sw_score_sweep_auto(
-            mu_smx_onehot(jnp.concatenate([a, ar]),
-                          jnp.concatenate([b, b]), mumx), o, e)
+        # fwd and rev in one kernel launch ([2B] batch); the fused-smx
+        # kernel builds substitution rows in VMEM (no HBM smx tensor)
+        both = mu_sw_scores(jnp.concatenate([a, ar]),
+                            jnp.concatenate([b, b]), mumx, o, e)
         fwd, rev = both[: ca * cb], both[ca * cb:]
         fwd = jnp.where(fwd > MU_SAT_LIMIT, np.float32(MU_SAT_SCORE), fwd)
         rev = jnp.where(rev > MU_SAT_LIMIT,

@@ -1,0 +1,133 @@
+"""Round-5 command ports: tracealn, feature-stats, test-gumbel,
+scop40tsv2bit, lddt-bench, lddt-msa / daliscore-msa summary lines,
+msta-lddtmuw (jalview + pymol), msta-lddtmuw1.
+
+Goldens generated with the reference binary (build of /root/reference/src)
+on committed fixtures; see each test for the exact command.  Where the
+reference's own command is broken upstream (test_gumbel dies on its
+normalization assert, gumbel.cpp:122; scop40tsv2bit segfaults in LoadDB)
+the port is covered by self-consistency instead."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import GOLDEN, REF_TEST_DATA
+
+MSTA = os.path.join(GOLDEN, "msta.afa")
+MSTA_SET = os.path.join(GOLDEN, "msta_set.cal")
+
+
+def run_cli(args, **kw):
+    from reseek_tpu.cli import main
+    return main(args)
+
+
+def test_feature_stats_golden(capsys):
+    assert run_cli(["feature-stats"]) == 0
+    with open(os.path.join(GOLDEN, "feature_stats.txt")) as f:
+        assert capsys.readouterr().out == f.read()
+
+
+def test_tracealn_golden(tmp_path):
+    """reseek -tracealn q10.bca -db q10.bca -log ... (100 pair traces:
+    routing, self-rev scores, path prefix, E-value, Mu filter verdicts —
+    all bit-parity quantities)."""
+    log = tmp_path / "trace.log"
+    assert run_cli(["tracealn", os.path.join(REF_TEST_DATA, "q10.bca"),
+                    "--db", os.path.join(REF_TEST_DATA, "q10.bca"),
+                    "--log", str(log)]) == 0
+    body = "".join(l for l in log.read_text().splitlines(True)
+                   if not l.startswith(("Finished", "Elapsed",
+                                        "Max memory")))
+    with open(os.path.join(GOLDEN, "tracealn_q10.txt")) as f:
+        assert body.rstrip("\n") == f.read().rstrip("\n")
+
+
+def test_test_gumbel_recovers_parameters(capsys):
+    """Fit of a clean gumbel(1.3, 0.8) curve recovers the parameters
+    (the reference binary's own -test_gumbel dies upstream)."""
+    assert run_cli(["test-gumbel"]) == 0
+    out = capsys.readouterr().out
+    parts = dict(p.split(" ") for p in out.strip().split(", "))
+    assert abs(float(parts["FitMu"]) - 1.3) < 0.15
+    assert abs(float(parts["FitBeta"]) - 0.8) < 0.12
+
+
+def test_scop40tsv2bit(tmp_path, capsys):
+    """Reference-generated sepq hits TSV -> .bit; round-trips through
+    read_bit and reports the Scop40Eval first-FP sensitivity count
+    (the reference binary's own -scop40tsv2bit segfaults upstream)."""
+    out = tmp_path / "hits.bit"
+    assert run_cli(["scop40tsv2bit", os.path.join(GOLDEN, "sepq_hits3.tsv"),
+                    "--input", os.path.join(GOLDEN, "sepq_set.cal"),
+                    "--output", str(out)]) == 0
+    assert capsys.readouterr().out.strip() == "1595 hits, Sens1FP 975"
+    from reseek_tpu.benchmarks.scop40 import read_bit
+    n_doms, d1, d2, sc = read_bit(str(out))
+    assert len(d1) == 1595 and n_doms == 139
+    with open(os.path.join(GOLDEN, "sepq_hits3.tsv")) as f:
+        first = f.readline().split("\t")
+    from reseek_tpu.io.reader import read_chains
+    doms = [c.label.partition("/")[0]
+            for c in read_chains(os.path.join(GOLDEN, "sepq_set.cal"))]
+    assert doms[d1[0]] == first[0].partition("/")[0]
+    assert float(sc[0]) == pytest.approx(float(first[2]), rel=1e-6)
+
+
+def test_lddt_bench_golden(capsys):
+    """reseek -lddt_bench msta.afa -input msta_set.cal -> LDDT=0.7564."""
+    assert run_cli(["lddt-bench", MSTA, "--input", MSTA_SET]) == 0
+    assert capsys.readouterr().out.strip() == "LDDT=0.7564 MSA=msta"
+
+
+def test_lddt_msa_golden(tmp_path):
+    out = tmp_path / "l.tsv"
+    assert run_cli(["lddt-msa", MSTA, "--input", MSTA_SET,
+                    "--output", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "lddt_msa.tsv")) as f:
+        assert out.read_text() == f.read()
+
+
+def test_daliscore_msa_golden(tmp_path):
+    out = tmp_path / "d.tsv"
+    assert run_cli(["daliscore-msa", MSTA, "--input", MSTA_SET,
+                    "--output", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "daliscore_msa.tsv")) as f:
+        assert out.read_text() == f.read()
+
+
+def test_msta_lddtmuw_jalview_golden(tmp_path):
+    out = tmp_path / "muw.jv"
+    assert run_cli(["msta-lddtmuw", MSTA, "--input", MSTA_SET,
+                    "--lddtmuw-jalview", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "msta_lddtmuw.jalview")) as f:
+        assert out.read_text() == f.read()
+
+
+def test_msta_lddtmuw_pymol_golden(tmp_path):
+    out = tmp_path / "muw.pml"
+    assert run_cli(["msta-lddtmuw", MSTA, "--input", MSTA_SET,
+                    "--label", "m0", "--lddtmuw-pymol", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "msta_lddtmuw_m0.pml")) as f:
+        assert out.read_text() == f.read()
+
+
+def test_msta_lddtmuw1_golden(tmp_path):
+    out = tmp_path / "muw1.txt"
+    assert run_cli(["msta-lddtmuw1", MSTA, "--input", MSTA_SET,
+                    "--label", "m0", "--output", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "msta_lddtmuw1_m0.txt")) as f:
+        assert out.read_text().rstrip("\n") == f.read().rstrip("\n")
+
+
+def test_reference_style_spelling(tmp_path, capsys):
+    """Single-dash reference spelling works for the new commands."""
+    from reseek_tpu.cli import main
+    out = tmp_path / "muw.jv"
+    assert main(["-msta_lddtmuw", MSTA, "-input", MSTA_SET,
+                 "-lddtmuw_jalview", str(out)]) == 0
+    assert out.exists()

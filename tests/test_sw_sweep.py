@@ -104,3 +104,52 @@ def test_sweep_pallas_matches_scan():
     assert np.array_equal(got, want)
     for k, m in enumerate(mats):
         assert got[k] == sw_score(m, -2.0, -1.0)
+
+
+def test_fused_smx_pallas_matches_materialized():
+    """Fused-smx Pallas sweep (substitution rows built in-kernel) ==
+    materialize-then-sweep, on real Mu letters from q10 chains."""
+    import jax.numpy as jnp
+
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.ops.sw_sweep import (mu_smx_onehot,
+                                         mu_sw_score_fused_pallas)
+    from reseek_tpu.search.engine import _mu_matrix_padded
+
+    params = DSSParams.create("sensitive")
+    chains = read_bca("/root/reference/test_data/q10.bca")
+    mus = [encode_chain(c).mu_letters for c in chains]
+    la = 128 * (-(-max(len(m) for m in mus) // 128))
+    n = len(mus)
+    mu = np.full((n, la), 36, np.uint8)
+    for i, m in enumerate(mus):
+        mu[i, :len(m)] = m
+    mumx = jnp.asarray(_mu_matrix_padded())
+    rng = np.random.default_rng(5)
+    ia = rng.integers(0, n, 24)
+    ib = rng.integers(0, n, 24)
+    a = jnp.asarray(mu[ia].astype(np.int32))
+    b = jnp.asarray(mu[ib].astype(np.int32))
+    o, e = -float(params.para_mu_gap_open), -float(params.para_mu_gap_ext)
+    got = np.asarray(mu_sw_score_fused_pallas(a, b, mumx, o, e))
+    want = np.asarray(sw_score_sweep(mu_smx_onehot(a, b, mumx), o, e))
+    assert np.array_equal(got, want)
+
+
+def test_fused_smx_ragged_rows():
+    """Row-count not a K_ROWS multiple + batch not a tile multiple."""
+    import jax.numpy as jnp
+    from reseek_tpu.ops.sw_sweep import (mu_smx_onehot,
+                                         mu_sw_score_fused_pallas)
+    from reseek_tpu.search.engine import _mu_matrix_padded
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 36, (3, 45)).astype(np.int32)
+    b = rng.integers(0, 36, (3, 128)).astype(np.int32)
+    mumx = jnp.asarray(_mu_matrix_padded())
+    got = np.asarray(mu_sw_score_fused_pallas(
+        jnp.asarray(a), jnp.asarray(b), mumx, -2.0, -1.0))
+    want = np.asarray(sw_score_sweep(
+        mu_smx_onehot(jnp.asarray(a), jnp.asarray(b), mumx), -2.0, -1.0))
+    assert np.array_equal(got, want)
