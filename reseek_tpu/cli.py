@@ -1933,6 +1933,74 @@ def cmd_msta_lddtmuw1(args) -> int:
     return 0
 
 
+def cmd_mudex(args) -> int:
+    """-mudex (src/mudex.cpp:540-599): k-mer index diagnostics over a Mu
+    FASTA — dictionary-wide self-score quartiles (exact, via 5-fold
+    convolution of the diagonal-score histogram instead of sorting the
+    60,466,176-entry array) and the occupancy histogram by max-letter
+    multiplicity.  Output matches the reference binary on q100.mu.fa
+    (golden-tested)."""
+    import numpy as np
+    from reseek_tpu.data.tables import get_tables
+    from reseek_tpu.search.prefilter import (K_SPAN, OFFSETS,
+                                             read_mu_fasta)
+    from reseek_tpu.utils.logger import open_log
+
+    lg = open_log(args.log)
+    _labels, mus = read_mu_fasta(args.input)
+
+    diag = np.diag(get_tables().mu_prefilter_mx_int8)[:36].astype(np.int64)
+    # distribution of SelfScore over the full 36^5 dictionary: 5-fold
+    # convolution of the per-letter diagonal histogram
+    hist = np.bincount(diag, minlength=int(diag.max()) + 1)
+    dist = np.array([1], np.int64)
+    for _ in range(5):
+        dist = np.convolve(dist, hist)
+    n_total = int(dist.sum())
+    assert n_total == 36 ** 5
+    cum = np.cumsum(dist)
+    scores = np.arange(len(dist))
+
+    def at(rank):  # sorted-array index semantics of GetQuarts
+        return int(scores[np.searchsorted(cum, rank + 1)])
+
+    total = int((scores * dist).sum())
+    mn = int(scores[np.flatnonzero(dist)[0]])
+    mx = int(scores[np.flatnonzero(dist)[-1]])
+    lg.log("SelfScores: N=%u, Min=%u, LoQ=%u, Med=%u, HiQ=%u, Max=%u, "
+           "Avg=%g\n" % (n_total, mn, at(n_total // 4),
+                         at(n_total // 2), at(3 * n_total // 4), mx,
+                         total / n_total))
+    print("Validate OK")
+
+    # occupancy by max letter multiplicity of the UNMASKED spaced k-mers
+    # (cmd_mudex builds the index before self-score masking)
+    counts = np.zeros(6, np.int64)
+    for mu in mus:
+        lets = np.asarray(mu, np.int64)
+        n = len(lets) - K_SPAN + 1
+        if n <= 0:
+            continue
+        cols = np.stack([lets[o: o + n] for o in OFFSETS])  # [5, n]
+        maxmult = np.zeros(n, np.int64)
+        for letter in range(36):
+            maxmult = np.maximum(maxmult, (cols == letter).sum(axis=0))
+        counts += np.bincount(np.maximum(maxmult, 1), minlength=6)
+    total_k = int(counts.sum())
+    for i in range(1, 6):
+        pct = 100.0 * counts[i] / total_k if total_k else 0.0
+        print("Max letters [%u] = %u (%.1f%%)" % (i, counts[i], pct))
+    return 0
+
+
+def cmd_mukmerfilter(args) -> int:
+    """-mukmerfilter: obsolete in the reference too
+    (src/mukmerfilter2.cpp:29-31 is `Die("Obsolete")`); kept for surface
+    parity.  The live MKF machinery is align/mkf.py + the search
+    drivers."""
+    raise SystemExit("Obsolete")
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="reseek-tpu",
                                  description=__doc__,
@@ -2400,6 +2468,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lddtmuw-pymol", dest="lddtmuw_pymol")
     p.set_defaults(func=cmd_msta_lddtmuw)
 
+    p = sub.add_parser("mudex", help="Mu k-mer index diagnostics")
+    p.add_argument("input", help="Mu-letter FASTA")
+    p.add_argument("--log")
+    p.set_defaults(func=cmd_mudex)
+
+    p = sub.add_parser("mukmerfilter",
+                       help="obsolete (matches the reference)")
+    p.add_argument("input", nargs="?")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_mukmerfilter)
+
     p = sub.add_parser("msta-lddtmuw1",
                        help="per-position windowed LDDT of one query")
     p.add_argument("msa")
@@ -2431,7 +2510,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv",
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
-            "msta-lddtmuw", "msta-lddtmuw1"}
+            "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

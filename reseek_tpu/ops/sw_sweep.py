@@ -72,13 +72,21 @@ def _interpret() -> bool:
 def sw_score_sweep_auto(s: jnp.ndarray, open_: float, ext: float):
     """Pallas row-sweep on TPU, lax.scan elsewhere — identical values
     (integer arithmetic is exact under any evaluation order).  The Pallas
-    kernel needs lane-aligned LB; other shapes use the scan."""
+    kernel needs lane-aligned LB; other shapes use the scan.
+
+    s may be bfloat16 (integer Mu scores -7..4 are exact in bf16): the
+    Pallas kernel reads bf16 blocks from HBM — HALVING the substitution
+    tensor's memory traffic, the stage-1 bottleneck at scale — and casts
+    each row block to f32 in VMEM, so all DP arithmetic stays f32-exact.
+    The scan fallback casts up front."""
     import os
     impl = os.environ.get("RESEEK_SW", "auto")
     if s.shape[-1] % 128 == 0 and (
             impl == "pallas" or (impl == "auto"
                                  and jax.default_backend() == "tpu")):
         return sw_score_sweep_pallas(s, open_, ext)
+    if s.dtype != jnp.float32:
+        s = s.astype(jnp.float32)
     return sw_score_sweep(s, open_, ext)
 
 
@@ -147,7 +155,7 @@ def _sweep_kernel(s_ref, out_ref, h1, h2, e1, bestv, *, open_, ext, k, lb):
     ke = (jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
           .astype(jnp.float32) * np.float32(ext))
     for kk in range(k):
-        s_row = s_ref[:, kk, :]
+        s_row = s_ref[:, kk, :].astype(jnp.float32)
         hp = h1[:]
         # F(i, j) = j*ext + cummax_{k<=j}(H(i-1, k-2) + open - k*ext)
         a = _roll_right(hp, 2, NEG) + np.float32(open_) - ke
@@ -175,13 +183,14 @@ def _sweep_kernel(s_ref, out_ref, h1, h2, e1, bestv, *, open_, ext, k, lb):
 @functools.partial(jax.jit, static_argnames=("open_", "ext"))
 def sw_score_sweep_pallas(s: jnp.ndarray, open_: float,
                           ext: float) -> jnp.ndarray:
-    """s: [B, LA, LB] f32 (NEG at padding), LB a multiple of 128.
-    Returns best local scores [B] (>= 0), equal to sw_score_sweep."""
+    """s: [B, LA, LB] f32 or bf16 (NEG at padding), LB a multiple of 128.
+    Returns best local f32 scores [B] (>= 0), equal to sw_score_sweep.
+    bf16 blocks use a 16-row grid step (the bf16 sublane tile)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, la, lb = s.shape
-    k = K_ROWS
+    k = K_ROWS * 2 if s.dtype == jnp.bfloat16 else K_ROWS
     la_pad = -(-la // k) * k
     if la_pad != la:
         s = jnp.pad(s, ((0, 0), (0, la_pad - la), (0, 0)),
@@ -335,18 +344,29 @@ def mu_sw_score_fused_pallas(a: jnp.ndarray, b: jnp.ndarray,
 def mu_sw_scores(a: jnp.ndarray, b: jnp.ndarray,
                  mumx_padded: jnp.ndarray, open_: float,
                  ext: float) -> jnp.ndarray:
-    """Mu SW scores for letter-array pairs: the fused-smx Pallas kernel on
-    TPU (RESEEK_SW_FUSED=0 falls back to materialize+sweep), the scan
-    sweep elsewhere.  Identical values on every path."""
+    """Mu SW scores for letter-array pairs.  Identical values on every
+    path (integer scores are exact in bf16 and under any order):
+
+    - default on TPU: substitution tensor materialized in BFLOAT16 and
+      swept by the Pallas kernel — halves the smx HBM traffic, the
+      measured stage-1 bottleneck (PROFILE.md: 22% HBM vs 8.6% VPU at
+      the 1k-chain scale);
+    - RESEEK_SW_FUSED=1: the fully-fused kernel (substitution rows
+      built in VMEM, no HBM tensor at all).  Opt-in only: correct (bit-
+      parity tests run it in interpret mode) but its 37-letter select
+      tree hangs the Mosaic compiler on this runtime's TPU toolchain;
+    - elsewhere: f32 scan sweep."""
     import os
     impl = os.environ.get("RESEEK_SW", "auto")
-    fused = os.environ.get("RESEEK_SW_FUSED", "1") != "0"
-    if b.shape[-1] % 128 == 0 and fused and (
-            impl == "pallas" or (impl == "auto"
-                                 and jax.default_backend() == "tpu")):
+    on_tpu = b.shape[-1] % 128 == 0 and (
+        impl == "pallas" or (impl == "auto"
+                             and jax.default_backend() == "tpu"))
+    if on_tpu and os.environ.get("RESEEK_SW_FUSED", "0") == "1":
         return mu_sw_score_fused_pallas(a, b, mumx_padded, open_, ext)
-    return sw_score_sweep_auto(mu_smx_onehot(a, b, mumx_padded),
-                               open_, ext)
+    s = mu_smx_onehot(a, b, mumx_padded)
+    if on_tpu:
+        s = s.astype(jnp.bfloat16)
+    return sw_score_sweep_auto(s, open_, ext)
 
 
 def mu_smx_onehot(a: jnp.ndarray, b: jnp.ndarray,

@@ -452,12 +452,24 @@ def _query_search_device(queries: List[Chain], db_iter,
         for i, f in sr_futs.items():
             q_ecs[i].self_rev_score = f.result()
 
-        first_chunk = True
-        while True:
+        # chunk N+1's encode runs on the worker pool WHILE chunk N's
+        # device stages execute (ProfileLoader-style overlap,
+        # src/profileloader.cpp:50-60); the DB iterator is consumed
+        # serially because the next encode is only submitted after the
+        # previous one resolves
+        def encode_chunk():
             chunk = list(itertools.islice(db_iter, chunk_size))
             if not chunk:
+                return None
+            return _encode_all(chunk, params, with_self_rev=False)
+
+        pending = pool.submit(encode_chunk)
+        first_chunk = True
+        while True:
+            t_ecs = pending.result()
+            if t_ecs is None:
                 break
-            t_ecs = _encode_all(chunk, params, with_self_rev=False)
+            pending = pool.submit(encode_chunk)
             ecs = q_ecs + t_ecs
             nt = len(t_ecs)
             pipe = DeviceSelfSearch(ecs, params, with_rev_profiles=False,
@@ -704,13 +716,24 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
         for i, f in sr_futs.items():
             q_ecs[i].self_rev_score = f.result()
 
-        while True:
+        # prefetch: chunk N+1's target encode overlaps chunk N's device
+        # stages (the iterator is consumed serially — the next chunk is
+        # only submitted once the previous result is taken)
+        def encode_chunk():
             chunk = list(itertools.islice(survivor_iter, chunk_size))
             if not chunk:
+                return None
+            return ([tidx for tidx, _ in chunk],
+                    _encode_all([c for _, c in chunk], sens,
+                                with_self_rev=False))
+
+        pending = pool.submit(encode_chunk)
+        while True:
+            got = pending.result()
+            if got is None:
                 break
-            t_ecs = _encode_all([c for _, c in chunk], sens,
-                                with_self_rev=False)
-            t_order = [tidx for tidx, _ in chunk]
+            pending = pool.submit(encode_chunk)
+            t_order, t_ecs = got
             tpos = {tidx: k for k, tidx in enumerate(t_order)}
             ecs = list(q_ecs) + list(t_ecs)
             pipe = DeviceSelfSearch(ecs, sens, with_rev_profiles=False,

@@ -131,3 +131,25 @@ def test_reference_style_spelling(tmp_path, capsys):
     assert main(["-msta_lddtmuw", MSTA, "-input", MSTA_SET,
                  "-lddtmuw_jalview", str(out)]) == 0
     assert out.exists()
+
+
+def test_mudex_golden(tmp_path, capsys):
+    """reseek -mudex q100.mu.fa: dictionary self-score quartiles +
+    occupancy histogram, byte-identical to the reference binary."""
+    log = tmp_path / "mudex.log"
+    assert run_cli(["mudex", os.path.join(GOLDEN, "q100.mu.fa"),
+                    "--log", str(log)]) == 0
+    assert capsys.readouterr().out == (
+        "Validate OK\n"
+        "Max letters [1] = 3796 (14.0%)\n"
+        "Max letters [2] = 15285 (56.4%)\n"
+        "Max letters [3] = 6204 (22.9%)\n"
+        "Max letters [4] = 1424 (5.3%)\n"
+        "Max letters [5] = 409 (1.5%)\n")
+    assert ("SelfScores: N=60466176, Min=20, LoQ=43, Med=47, HiQ=51, "
+            "Max=75, Avg=47.3611") in log.read_text()
+
+
+def test_mukmerfilter_obsolete():
+    with pytest.raises(SystemExit, match="Obsolete"):
+        run_cli(["mukmerfilter"])

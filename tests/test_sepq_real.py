@@ -19,7 +19,13 @@ import os
 from conftest import GOLDEN
 
 
-def test_sepq_real_hits_matches_reference():
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_sepq_real_hits_matches_reference(engine):
+    """Both engines (host per-pair path; batched device engine on the
+    CPU backend) reproduce the reference SEPQs."""
     from reseek_tpu.align.output import parse_columns
     from reseek_tpu.benchmarks.scop40 import Scop40Eval, read_dom_scopid
     from reseek_tpu.constants import DSSParams
@@ -32,7 +38,7 @@ def test_sepq_real_hits_matches_reference():
     options = SearchOptions(columns=parse_columns("query+target+evalue"),
                             max_evalue=10.0, mode="sensitive")
     buf = io.StringIO()
-    self_search(chains, params, options, buf, engine="host")
+    self_search(chains, params, options, buf, engine=engine)
     ev = Scop40Eval(read_dom_scopid(os.path.join(GOLDEN,
                                                  "sepq_set.lookup")))
 

@@ -153,3 +153,55 @@ def test_fused_smx_ragged_rows():
     want = np.asarray(sw_score_sweep(
         mu_smx_onehot(jnp.asarray(a), jnp.asarray(b), mumx), -2.0, -1.0))
     assert np.array_equal(got, want)
+
+
+def test_sweep_pallas_bf16_matches_f32():
+    """bf16 substitution blocks (the TPU default: halves smx HBM traffic)
+    sweep to the identical scores — integer Mu values are bf16-exact and
+    DP math stays f32 in-kernel."""
+    import jax.numpy as jnp
+    from reseek_tpu.ops.sw_sweep import sw_score_sweep_pallas
+    rng = np.random.default_rng(12)
+    mats = []
+    for _ in range(9):
+        a, b = rng.integers(3, 150, 2)
+        mats.append(rng.integers(-7, 5, (a, b)).astype(np.float32))
+    s = _pad_batch(mats, 150, 256)
+    got16 = np.asarray(sw_score_sweep_pallas(
+        jnp.asarray(s).astype(jnp.bfloat16), -2.0, -1.0))
+    got32 = np.asarray(sw_score_sweep_pallas(jnp.asarray(s), -2.0, -1.0))
+    assert np.array_equal(got16, got32)
+    for k, m in enumerate(mats):
+        assert got16[k] == sw_score(m, -2.0, -1.0)
+
+
+def test_mu_sw_scores_paths_agree():
+    """mu_sw_scores' three paths (scan, bf16 pallas, fused pallas) agree
+    bit-for-bit on real Mu letters (pallas paths in interpret mode)."""
+    import jax.numpy as jnp
+
+    from reseek_tpu.encoder.dss import encode_chain
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.ops.sw_sweep import (mu_smx_onehot,
+                                         mu_sw_score_fused_pallas,
+                                         sw_score_sweep,
+                                         sw_score_sweep_pallas)
+    from reseek_tpu.search.engine import _mu_matrix_padded
+
+    chains = read_bca("/root/reference/test_data/q10.bca")[:6]
+    mus = [encode_chain(c).mu_letters for c in chains]
+    la = 128 * (-(-max(len(m) for m in mus) // 128))
+    mu = np.full((len(mus), la), 36, np.uint8)
+    for i, m in enumerate(mus):
+        mu[i, :len(m)] = m
+    a = jnp.asarray(mu.astype(np.int32))
+    b = jnp.asarray(mu[::-1].copy().astype(np.int32))
+    mumx = jnp.asarray(_mu_matrix_padded())
+    s = mu_smx_onehot(a, b, mumx)
+    want = np.asarray(sw_score_sweep(s, -2.0, -1.0))
+    got_bf16 = np.asarray(sw_score_sweep_pallas(
+        s.astype(jnp.bfloat16), -2.0, -1.0))
+    got_fused = np.asarray(mu_sw_score_fused_pallas(a, b, mumx,
+                                                    -2.0, -1.0))
+    assert np.array_equal(got_bf16, want)
+    assert np.array_equal(got_fused, want)
