@@ -1993,6 +1993,130 @@ def cmd_mudex(args) -> int:
     return 0
 
 
+def cmd_scan_files(args) -> int:
+    """-scan_files (src/pdbfilescanner.cpp:138-162): list every structure
+    file the scanner finds under a directory / .files list."""
+    from reseek_tpu.io.reader import scan_structure_files
+    files = scan_structure_files(args.input)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for fn in files:
+            out.write(fn + "\n")
+    finally:
+        if args.output:
+            out.close()
+    print(f"{len(files)} files total", file=sys.stderr)
+    return 0
+
+
+def cmd_test_xdrop(args) -> int:
+    """-test_xdrop (src/test_xdrop.cpp:78-187): x-drop fwd/bwd extension
+    self-test on three BLOSUM62 string pairs, byte-identical log output
+    to the reference binary (including its display quirks: the Fwd
+    alignment is logged one position off its true start, and the merged
+    path keeps the seed column both sides)."""
+    from reseek_tpu.align.mkf import xdrop_fwd, xdrop_bwd
+    from reseek_tpu.data.blosum62 import char_subst_mx
+    from reseek_tpu.ops.sw_np import sw_align
+    from reseek_tpu.utils.logger import open_log
+
+    lg = open_log(args.log)
+    b62 = char_subst_mx()
+
+    def log_aln(a, b, lo_a, lo_b, open_, ext, path):
+        if not path:
+            return
+        pa, pb = lo_a, lo_b
+        row_a, row_b = [], []
+        score = np.float32(0.0)
+        for col, c in enumerate(path):
+            if c == "M":
+                score += np.float32(b62[ord(a[pa]), ord(b[pb])])
+                row_a.append(a[pa]); pa += 1
+                row_b.append(b[pb]); pb += 1
+            elif c == "D":
+                score += np.float32(
+                    ext if col and path[col - 1] == "D" else open_)
+                row_a.append(a[pa]); pa += 1
+                row_b.append("-")
+            else:
+                score += np.float32(
+                    ext if col and path[col - 1] == "I" else open_)
+                row_a.append("-")
+                row_b.append(b[pb]); pb += 1
+        lg.log("\n%s\n%s\nScore %.3g\n"
+               % ("".join(row_a), "".join(row_b), score))
+
+    def test(a, b):
+        open_, ext, x = -3.0, -1.0, 8.0
+        la, lb = len(a), len(b)
+        smx = np.empty((la, lb), np.float32)
+        for i in range(la):
+            for j in range(lb):
+                smx[i, j] = b62[ord(a[i]), ord(b[j])]
+
+        def scorer(pa, pb):
+            return np.float32(smx[pa, pb])
+
+        lg.log("______________________________SWFast"
+               "________________________\n")
+        sw_score, lo_a, lo_b, sw_path = sw_align(smx, open_, ext)
+        lg.log("SW score = %.3g Path = %s\n" % (sw_score, sw_path))
+        log_aln(a, b, lo_a, lo_b, open_, ext, sw_path)
+        if len(sw_path) < 8:
+            return
+        mid_a, mid_b = lo_a, lo_b
+        for c in sw_path[: len(sw_path) // 2]:
+            if c in "MD":
+                mid_a += 1
+            if c in "MI":
+                mid_b += 1
+        lg.log("Mid %u, %u\n" % (mid_a, mid_b))
+
+        lg.log("______________________________Fwd"
+               "________________________\n")
+        fwd_score, fwd_path = xdrop_fwd(scorer, x, open_, ext,
+                                        mid_a + 1, la, mid_b + 1, lb)
+        lg.log("FwdScore = %.3g Path = (%u,%u) %s\n"
+               % (fwd_score, mid_a + 1, mid_b + 1, fwd_path))
+        log_aln(a, b, mid_a, mid_b, open_, ext, fwd_path)  # ref quirk
+
+        lg.log("______________________________Bwd"
+               "________________________\n")
+        bwd_score, bwd_path = xdrop_bwd(scorer, x, open_, ext,
+                                        mid_a, la, mid_b, lb)
+        lg.log("BwdScore = %.3g (%u,%u) Path = %s\n"
+               % (bwd_score, mid_a, mid_b, bwd_path))
+        lolo_a = mid_a + 1 - sum(c in "MD" for c in bwd_path)
+        lolo_b = mid_b + 1 - sum(c in "MI" for c in bwd_path)
+        log_aln(a, b, lolo_a, lolo_b, open_, ext, bwd_path)
+        comb = np.float32(fwd_score) + np.float32(bwd_score) \
+            - np.float32(b62[ord(a[mid_a]), ord(b[mid_b])])
+        lg.log("FB score %.3g  %s\n" % (comb, bwd_path + fwd_path[1:]))
+        lg.log("SW score %.3g  %s\n" % (sw_score, sw_path))
+
+        lg.log("______________________________Merged"
+               "________________________\n")
+        # MergeFwdBwd (src/mergefwdback.cpp:6-50)
+        merged = bwd_path + fwd_path
+        hi_a = mid_a + sum(c in "MD" for c in fwd_path) \
+            if fwd_path else mid_a
+        hi_b = mid_b + sum(c in "MI" for c in fwd_path) \
+            if fwd_path else mid_b
+        m_lo_a = lolo_a if bwd_path else mid_a + 1
+        m_lo_b = lolo_b if bwd_path else mid_b + 1
+        lg.log("Merged A %u-%u, B %u-%u, Path %s\n"
+               % (m_lo_a, m_lo_b, hi_a, hi_b, merged))
+        log_aln(a, b, m_lo_a, m_lo_b, open_, ext, merged)
+        lg.log("===================================================="
+               "================\n")
+
+    test("DVLGYLRFLTKGERQANLNF", "WVLGLRFLTKGERQANLNF")
+    test("DVLGYLRFLTERQANLNF", "WVLGLRFLTKGERQANLNF")
+    test("DVLGYLRFLTKGERQANLNF", "WVLGLINSRFLTKGERQANLNF")
+    return 0
+
+
 def cmd_mukmerfilter(args) -> int:
     """-mukmerfilter: obsolete in the reference too
     (src/mukmerfilter2.cpp:29-31 is `Die("Obsolete")`); kept for surface
@@ -2473,6 +2597,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log")
     p.set_defaults(func=cmd_mudex)
 
+    p = sub.add_parser("scan-files",
+                       help="list structure files found by the scanner")
+    p.add_argument("input")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_scan_files)
+
+    p = sub.add_parser("test-xdrop",
+                       help="x-drop kernel self-test (reference golden)")
+    p.add_argument("input", nargs="?", help="ignored (reference arg slot)")
+    p.add_argument("--log")
+    p.set_defaults(func=cmd_test_xdrop)
+
     p = sub.add_parser("mukmerfilter",
                        help="obsolete (matches the reference)")
     p.add_argument("input", nargs="?")
@@ -2510,7 +2646,8 @@ def _reference_style(argv: List[str]) -> List[str]:
             "scop40bit2tsv", "scop40bit-roc", "scop40bench-tsv",
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
-            "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter"}
+            "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter",
+            "scan-files", "test-xdrop"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")
@@ -2531,8 +2668,14 @@ def _reference_style(argv: List[str]) -> List[str]:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _known_options(head: str) -> set:
-    """Long-option names (without --) of subcommand `head`."""
+    """Long-option names (without --) of subcommand `head`.  Cached: the
+    argparse tree is only built once per process even when main() is
+    invoked repeatedly (e.g. from tests)."""
     ap = build_parser()
     for act in ap._subparsers._group_actions:  # type: ignore[union-attr]
         choices = getattr(act, "choices", None)

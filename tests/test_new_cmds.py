@@ -153,3 +153,21 @@ def test_mudex_golden(tmp_path, capsys):
 def test_mukmerfilter_obsolete():
     with pytest.raises(SystemExit, match="Obsolete"):
         run_cli(["mukmerfilter"])
+
+
+def test_test_xdrop_golden(tmp_path):
+    """reseek -test_xdrop: x-drop fwd/bwd/merge on BLOSUM62 string pairs,
+    byte-identical log to the reference binary (incl. display quirks)."""
+    log = tmp_path / "txd.log"
+    assert run_cli(["test-xdrop", "--log", str(log)]) == 0
+    body = "".join(l for l in log.read_text().splitlines(True)
+                   if not l.startswith(("Finished", "Elapsed",
+                                        "Max memory")))
+    with open(os.path.join(GOLDEN, "test_xdrop.txt")) as f:
+        assert body.rstrip("\n") == f.read().rstrip("\n")
+
+
+def test_scan_files(capsys):
+    assert run_cli(["scan-files", "/root/reference/test_structures"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 4 and all(o.endswith(".pdb.gz") for o in out)
