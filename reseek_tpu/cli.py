@@ -1993,6 +1993,115 @@ def cmd_mudex(args) -> int:
     return 0
 
 
+def cmd_msa2cmp(args) -> int:
+    """-msa2cmp (src/msa2cmp.cpp:51-230): contact-map profile from an
+    MSA + structures — header, gap-mapped MSA rows, low-gap profile
+    rows, then the mean (lower triangle) / stddev (upper) distance
+    matrix over aligned pairs.  Float accumulation follows the
+    reference's QuartsFloat exactly (f32 sums over ASCENDING-sorted
+    distances, population stddev) so %.3g output is byte-identical."""
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import read_msa_fasta
+    from reseek_tpu.io.reader import read_chains
+
+    msa = read_msa_fasta(args.msa)
+    chains = {c.label: c for c in read_chains(args.input)}
+    n_seq = len(msa)
+    col_to_pos, chain_of = [], []
+    for label, row in msa:
+        if label not in chains:
+            raise SystemExit(f"Label not found in chains >{label}")
+        c = chains[label]
+        ungapped = sum(1 for ch in row if ch not in "-.")
+        if ungapped != len(c):
+            raise SystemExit(f"Lengths disagree {ungapped}, {len(c)} "
+                             f"> {label}")
+        chain_of.append(c)
+        ctp, pos = [], 0
+        for ch in row:
+            if ch in "-.":
+                ctp.append(-1)
+            else:
+                ctp.append(pos)
+                pos += 1
+        col_to_pos.append(np.array(ctp, np.int64))
+
+    n_cols = len(msa[0][1])
+    max_gap = (args.maxgappct / 100.0 if args.maxgappct is not None
+               else 0.2)
+    prof_cols = []
+    for col in range(n_cols):
+        gaps = sum(1 for _l, row in msa if row[col] in "-.")
+        if gaps / n_seq <= max_gap:
+            prof_cols.append(col)
+    n_prof = len(prof_cols)
+    print("%u chains, %u / %u prof cols (%.1f%%)"
+          % (n_seq, n_prof, n_cols,
+             100.0 * n_prof / n_cols if n_cols else 0.0),
+          file=sys.stderr)
+
+    mean = np.zeros((n_prof, n_prof))
+    sdev = np.zeros((n_prof, n_prof))
+    for i1 in range(n_prof):
+        c1 = prof_cols[i1]
+        for i2 in range(i1 + 1, n_prof):
+            c2 = prof_cols[i2]
+            dists = []
+            for s in range(n_seq):
+                p1 = col_to_pos[s][c1]
+                p2 = col_to_pos[s][c2]
+                if p1 >= 0 and p2 >= 0:
+                    # PDBChain::GetDist float path as compiled with GCC
+                    # FMA contraction: dy*dy rounded, then two fused
+                    # multiply-adds, f32 sqrt (src/abcxyz.h:116-126;
+                    # same recipe as ops/lddt.py d2mat / fp.py)
+                    from reseek_tpu.fp import fma32
+                    a = chain_of[s].coords[int(p1)]
+                    b = chain_of[s].coords[int(p2)]
+                    dx, dy, dz = a[0] - b[0], a[1] - b[1], a[2] - b[2]
+                    d2 = fma32(dz, dz, fma32(dx, dx,
+                                             np.float32(dy * dy)))
+                    dists.append(np.float32(np.sqrt(d2)))
+            if dists:
+                v = np.sort(np.array(dists, np.float32))
+                total = np.float32(0.0)
+                for x in v:
+                    total += x
+                m = np.float32(total / len(v))
+                sumd = np.float32(0.0)
+                for x in v:
+                    d = (x - m) * (x - m)
+                    sumd += d
+                mean[i1, i2] = mean[i2, i1] = float(m)
+                sdev[i1, i2] = sdev[i2, i1] = float(
+                    np.sqrt(np.float32(sumd / len(v))))
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        out.write("%u\t%u\t%u\n" % (n_seq, n_cols, n_prof))
+        for rows_cols in (range(n_cols), prof_cols):
+            for s in range(n_seq):
+                seq = chain_of[s].seq
+                out.write("%u\t%s\t" % (s, chain_of[s].label))
+                out.write("".join(
+                    "-" if col_to_pos[s][col] < 0
+                    else seq[col_to_pos[s][col]] for col in rows_cols))
+                out.write("\n")
+        for c1 in range(n_prof):
+            out.write("%u" % c1)
+            for c2 in range(n_prof):
+                if c2 == c1:
+                    out.write("\t*")
+                elif c1 > c2:
+                    out.write("\t%.3g" % mean[c1, c2])
+                else:
+                    out.write("\t%.3g" % sdev[c1, c2])
+            out.write("\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
 def cmd_scan_files(args) -> int:
     """-scan_files (src/pdbfilescanner.cpp:138-162): list every structure
     file the scanner finds under a directory / .files list."""
@@ -2597,6 +2706,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log")
     p.set_defaults(func=cmd_mudex)
 
+    p = sub.add_parser("msa2cmp",
+                       help="contact-map profile from MSA + structures")
+    p.add_argument("msa")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output")
+    p.add_argument("--maxgappct", type=float)
+    p.set_defaults(func=cmd_msa2cmp)
+
     p = sub.add_parser("scan-files",
                        help="list structure files found by the scanner")
     p.add_argument("input")
@@ -2647,7 +2764,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
             "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter",
-            "scan-files", "test-xdrop"}
+            "scan-files", "test-xdrop", "msa2cmp"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

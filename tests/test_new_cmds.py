@@ -171,3 +171,14 @@ def test_scan_files(capsys):
     assert run_cli(["scan-files", "/root/reference/test_structures"]) == 0
     out = capsys.readouterr().out.splitlines()
     assert len(out) == 4 and all(o.endswith(".pdb.gz") for o in out)
+
+
+def test_msa2cmp_golden(tmp_path):
+    """reseek -msa2cmp msta.afa -input msta_set.cal: contact-map profile
+    byte-identical to the reference binary (incl. the f32 QuartsFloat
+    accumulation and GCC-FMA GetDist rounding)."""
+    out = tmp_path / "cmp.tsv"
+    assert run_cli(["msa2cmp", MSTA, "--input", MSTA_SET,
+                    "--output", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "msa2cmp.tsv")) as f:
+        assert out.read_text() == f.read()
