@@ -1993,6 +1993,64 @@ def cmd_mudex(args) -> int:
     return 0
 
 
+def cmd_binner(args) -> int:
+    """-binner (src/binner.cpp:5-67): histogram a TSV column (optionally
+    log10) into N bins; writes histogram / cumulative / reverse-
+    cumulative TSVs and prints the QuartsFloat summary, byte-identical
+    to the reference (Binner semantics src/binner.h:123-165: clamp to
+    [min, max], bin = r*(BinCount-1), mids from BinSize=range/BinCount)."""
+    import numpy as np
+
+    field = (args.fieldnr - 1) if args.fieldnr else 0
+    vals = []
+    with open(args.input) as f:
+        for line in f:
+            v = np.float32(line.rstrip("\n").split("\t")[field])
+            if args.log10:
+                v = (np.float32(-20.0) if v < 1e-20
+                     else np.float32(np.log10(v)))
+            vals.append(v)
+    v = np.array(vals, np.float32)
+    sv = np.sort(v)
+    n = len(sv)
+    total = np.float32(0.0)
+    for x in sv:
+        total += x
+    mean = np.float32(total / n) if n else np.float32(0)
+    # QuartsFloat::WriteMe(stderr) format (src/quarts.h:99-110; the
+    # StdDev field only goes to the log via LogMe)
+    print("Min=%.3g, LoQ=%.3g, Med=%.3g, HiQ=%.3g, Max=%.3g, Avg=%.3g"
+          % (sv[0], sv[n // 4], sv[n // 2], sv[3 * n // 4], sv[-1],
+             mean), file=sys.stderr)
+
+    lo = np.float32(args.minval) if args.minval is not None else sv[0]
+    hi = np.float32(args.maxval) if args.maxval is not None else sv[-1]
+    bins = args.bins
+    rng = np.float32(hi - lo)
+    clamped = np.clip(v, lo, hi)
+    idx = ((clamped - lo) / rng * np.float32(bins - 1)).astype(np.uint32)
+    counts = np.bincount(idx, minlength=bins)
+    size = np.float32(rng / np.float32(bins))
+    mids = [np.float32(lo + np.float32(b) * size + size / np.float32(2))
+            for b in range(bins)]
+
+    def write(path, ns, blank_zero):
+        if not path:
+            return
+        with open(path, "w") as f:
+            for b in range(bins):
+                nn = int(ns[b])
+                if blank_zero and nn == 0:
+                    f.write("%u\t%.4g\t\n" % (b, mids[b]))
+                else:
+                    f.write("%u\t%.4g\t%u\n" % (b, mids[b], nn))
+
+    write(args.output, counts, False)
+    write(args.accum, np.cumsum(counts), True)
+    write(args.accumrev, np.cumsum(counts[::-1])[::-1], True)
+    return 0
+
+
 def cmd_msa2cmp(args) -> int:
     """-msa2cmp (src/msa2cmp.cpp:51-230): contact-map profile from an
     MSA + structures — header, gap-mapped MSA rows, low-gap profile
@@ -2706,6 +2764,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log")
     p.set_defaults(func=cmd_mudex)
 
+    p = sub.add_parser("binner", help="histogram a TSV column")
+    p.add_argument("input")
+    p.add_argument("--fieldnr", type=int)
+    p.add_argument("--bins", type=int, default=32)
+    p.add_argument("--minval", type=float)
+    p.add_argument("--maxval", type=float)
+    p.add_argument("--log10", action="store_true")
+    p.add_argument("--output")
+    p.add_argument("--accum")
+    p.add_argument("--accumrev")
+    p.set_defaults(func=cmd_binner)
+
     p = sub.add_parser("msa2cmp",
                        help="contact-map profile from MSA + structures")
     p.add_argument("msa")
@@ -2764,7 +2834,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
             "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter",
-            "scan-files", "test-xdrop", "msa2cmp"}
+            "scan-files", "test-xdrop", "msa2cmp", "binner"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

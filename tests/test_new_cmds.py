@@ -182,3 +182,22 @@ def test_msa2cmp_golden(tmp_path):
                     "--output", str(out)]) == 0
     with open(os.path.join(GOLDEN, "msa2cmp.tsv")) as f:
         assert out.read_text() == f.read()
+
+
+def test_binner_golden(tmp_path, capsys):
+    """reseek -binner (fieldnr 2, 8 bins): histogram + cumulative +
+    reverse-cumulative TSVs and the QuartsFloat stderr line, all
+    byte-identical to the reference binary.  (The reference itself
+    segfaults when -accum is omitted — fprintf(NULL) in AccumToTsv,
+    src/binner.h:184 — our port just skips unset outputs.)"""
+    h, a, r = (tmp_path / x for x in ("h.tsv", "a.tsv", "r.tsv"))
+    assert run_cli(["binner", os.path.join(GOLDEN, "binner_vals.tsv"),
+                    "--fieldnr", "2", "--bins", "8",
+                    "--output", str(h), "--accum", str(a),
+                    "--accumrev", str(r)]) == 0
+    for got, name in ((h, "binner_hist.tsv"), (a, "binner_accum.tsv"),
+                      (r, "binner_accumrev.tsv")):
+        with open(os.path.join(GOLDEN, name)) as f:
+            assert got.read_text() == f.read()
+    assert ("Min=-0.133, LoQ=3.67, Med=5.01, HiQ=6.18, Max=10.8, "
+            "Avg=4.97") in capsys.readouterr().err
