@@ -1993,6 +1993,131 @@ def cmd_mudex(args) -> int:
     return 0
 
 
+def cmd_calibrate2(args) -> int:
+    """-calibrate2 (src/calibrate2.cpp:55-142): fit the P-value model
+    from a labeled all-vs-all benchmark — ROC steps over TS, FP rate
+    P(FP | TS >= t) = NFP/NQ^2 for thresholds with NFP in
+    [NQ/100, NQ*100], linear fit of TS to -log(P) (f32 LinearFit,
+    src/calibrate2.cpp:19-52).  Prints `Linear fit to -log(P) m=.. b=..`
+    and the optional 5-column table.
+
+    NOTE: the reference binary's own command dies upstream
+    (scop40benchroc.cpp:295 `SIZE(m_TSs) == HitCount` — the TS record
+    path is not populated on this code path), so this port is validated
+    by self-consistency; when the reference's ROC-step smoothing
+    (SmoothROCSteps: <=100 subsampled points under --maxfpr) has too few
+    steps, it falls back to the raw in-window steps with a warning
+    instead of fitting an empty list (the reference would produce NaN)."""
+    import io as _io
+
+    import numpy as np
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.constants import DSSParams
+    from reseek_tpu.io.reader import read_chains
+    from reseek_tpu.search.driver import SearchOptions, self_search
+
+    params = DSSParams.create("fast")  # DM_DefaultFast
+    chains = read_chains(args.input)
+    doms = [c.label.partition("/")[0] for c in chains]
+    scopids = {c.label.partition("/")[0]: c.label.partition("/")[2]
+               for c in chains}
+    level = args.benchlevel
+
+    def group(d):
+        parts = scopids[d].split(".")
+        return ".".join(parts[:3] if level == "sf" else parts[:2])
+
+    nq = len(doms)
+    from collections import Counter
+    cnt = Counter(group(d) for d in doms)
+    nt = sum(k * (k - 1) for k in cnt.values())
+    nf = nq * (nq - 1) - nt
+
+    options = SearchOptions(columns=parse_columns("query+target+newts"),
+                            max_evalue=10.0, mode="fast")
+    buf = _io.StringIO()
+    self_search(chains, params, options, buf, engine=args.engine)
+    hits = []
+    for line in buf.getvalue().splitlines():
+        q, t, ts = line.split("\t")
+        hits.append((q.partition("/")[0], t.partition("/")[0], float(ts)))
+
+    # GetROCSteps over TS descending (scop40benchroc.cpp:454-513)
+    hits.sort(key=lambda h: -h[2])
+    steps_ts, steps_ntp, steps_nfp = [], [], []
+    cur = hits[0][2] if hits else 0.0
+    ntp = nfp = 0
+    for q, t, ts in hits:
+        if q == t:
+            continue
+        if ts != cur:
+            steps_ts.append(cur)
+            steps_ntp.append(ntp)
+            steps_nfp.append(nfp)
+            cur = ts
+        if group(q) == group(t):
+            ntp += 1
+        else:
+            nfp += 1
+    steps_ts.append(cur)
+    steps_ntp.append(ntp)
+    steps_nfp.append(nfp)
+
+    # SmoothROCSteps (scop40benchroc.cpp:393-453): subsample to <=100
+    # points below MaxFPR
+    max_fpr = args.maxfpr if args.maxfpr is not None else 0.005
+    ns = len(steps_ts)
+    n = ns - 1
+    for i in range(ns):
+        if steps_nfp[i] / nf >= max_fpr:
+            n = i
+            break
+    idxs = None
+    if ns >= 100 and n >= 200:
+        nbins = 100
+        idxs = [0] + [(b * n) // nbins for b in range(1, nbins - 1)] \
+            + [n - 1]
+    else:
+        print(f"warning: only {n} ROC steps below FPR {max_fpr:g}; "
+              "fitting raw in-window steps (the reference's smoothing "
+              "needs >= 200)", file=sys.stderr)
+        idxs = list(range(max(n, 1)))
+
+    tss, ps = [], []
+    for i in idxs:
+        nfp_i = steps_nfp[i]
+        if nfp_i < nq // 100:
+            continue
+        if nfp_i > nq * 100:
+            break
+        tss.append(np.float32(steps_ts[i]))
+        ps.append(np.float32(nfp_i / float(nq * nq)))
+    if len(tss) < 2:
+        raise SystemExit("too few thresholds in the NFP window to fit")
+    mlp = [np.float32(-np.log(p)) for p in ps]
+
+    # LinearFit, f32 accumulation (src/calibrate2.cpp:19-52)
+    sx = sx2 = sy = sxy = np.float32(0.0)
+    for x, y in zip(tss, mlp):
+        sx += x
+        sx2 += x * x
+        sy += y
+        sxy += x * y
+    nn = np.float32(len(tss))
+    m = np.float32((nn * sxy - sx * sy) / (nn * sx2 - sx * sx))
+    b = np.float32(sy / nn - m * (sx / nn))
+    print("Linear fit to -log(P) m=%.3g b=%.3g" % (m, b))
+
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write("TS\tP\tMinusLogP\tMinusLogP_fit\tP_fit\n")
+            for x, p, y in zip(tss, ps, mlp):
+                yfit = np.float32(m * x + b)
+                f.write("%.4g\t%.4g\t%.4g\t%.4g\t%.4g\n"
+                        % (x, p, y, yfit, np.float32(np.exp(-yfit))))
+    return 0
+
+
 def cmd_binner(args) -> int:
     """-binner (src/binner.cpp:5-67): histogram a TSV column (optionally
     log10) into N bins; writes histogram / cumulative / reverse-
@@ -2764,6 +2889,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log")
     p.set_defaults(func=cmd_mudex)
 
+    p = sub.add_parser("calibrate2",
+                       help="fit the P-value model from a labeled "
+                            "all-vs-all benchmark")
+    p.add_argument("input", help="structures with dom/scopid labels")
+    p.add_argument("--benchlevel", required=True,
+                   choices=["sf", "fold"])
+    p.add_argument("--maxfpr", type=float)
+    p.add_argument("--output")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"])
+    p.set_defaults(func=cmd_calibrate2)
+
     p = sub.add_parser("binner", help="histogram a TSV column")
     p.add_argument("input")
     p.add_argument("--fieldnr", type=int)
@@ -2834,7 +2971,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
             "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter",
-            "scan-files", "test-xdrop", "msa2cmp", "binner"}
+            "scan-files", "test-xdrop", "msa2cmp", "binner", "calibrate2"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

@@ -201,3 +201,23 @@ def test_binner_golden(tmp_path, capsys):
             assert got.read_text() == f.read()
     assert ("Min=-0.133, LoQ=3.67, Med=5.01, HiQ=6.18, Max=10.8, "
             "Avg=4.97") in capsys.readouterr().err
+
+
+def test_calibrate2(tmp_path, capsys):
+    """calibrate2 on the sepq labeled set: the TS -> -log(P) fit is in
+    the neighborhood of the reference's documented SCOP40 superfamily
+    fit (m=20.5 b=2.89, src/calibrate2.cpp:12) and the table is
+    well-formed.  (The reference binary's own command dies upstream —
+    scop40benchroc.cpp:295 assert.)"""
+    out = tmp_path / "cal2.tsv"
+    assert run_cli(["calibrate2", os.path.join(GOLDEN, "sepq_set.cal"),
+                    "--benchlevel", "sf", "--engine", "host",
+                    "--output", str(out)]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert line.startswith("Linear fit to -log(P) m=")
+    m = float(line.split("m=")[1].split()[0])
+    b = float(line.split("b=")[1])
+    assert 10 < m < 40 and 1 < b < 8
+    rows = out.read_text().splitlines()
+    assert rows[0] == "TS\tP\tMinusLogP\tMinusLogP_fit\tP_fit"
+    assert len(rows) > 10
