@@ -205,19 +205,20 @@ def col_to_pos(row: str, core: Optional[np.ndarray] = None) -> np.ndarray:
 
 def _match_chains(msa: Sequence[Tuple[str, str]],
                   chains: Sequence[Chain]) -> Dict[int, Chain]:
-    """Label match with the reference's fallback to sequence identity
-    (SetSeqIdxToChainIdx matches the ungapped row to the chain seq)."""
-    by_label = {c.label: c for c in chains}
+    """DALIScorer::SetSeqIdxToChainIdx (src/daliscorer.cpp:134-162):
+    an MSA sequence matches a chain iff its UNGAPPED UPPERCASED row
+    equals the chain sequence exactly — labels are never consulted, and
+    duplicate chain sequences resolve to the LAST loaded chain
+    (m_SeqToChainIdx operator[] overwrite, daliscorer.cpp:95).
+    Unmatched sequences are simply absent from the result (the
+    MissingSeqOk path; strict callers raise on missing keys)."""
     by_seq: Dict[str, Chain] = {}
     for c in chains:
-        by_seq.setdefault(c.seq.upper(), c)
+        by_seq[c.seq.upper()] = c  # last wins
     out: Dict[int, Chain] = {}
-    for i, (label, row) in enumerate(msa):
-        c = by_label.get(label)
-        if c is None:
-            ungapped = "".join(ch for ch in row
-                               if ch not in "-.").upper()
-            c = by_seq.get(ungapped)
+    for i, (_label, row) in enumerate(msa):
+        ungapped = "".join(ch for ch in row if ch not in "-.").upper()
+        c = by_seq.get(ungapped)
         if c is not None:
             out[i] = c
     return out

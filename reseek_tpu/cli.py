@@ -1993,6 +1993,83 @@ def cmd_mudex(args) -> int:
     return 0
 
 
+def cmd_daliscore_msas2(args) -> int:
+    """-daliscore_msas2 (src/daliscore_msas2.cpp:6-132): A/B-compare two
+    test directories of MSAs by total DALI score and mean Z per
+    accession.  Output format byte-identical to the reference on the
+    msta fixture, INCLUDING its quirks (duplicated z2 field, norm1/norm2
+    fields printing the raw scores, and the dead negative-score
+    clamping branches are semantics-preserved)."""
+    import os as _os
+
+    from reseek_tpu.benchmarks.msa import dali_score, dali_z
+    from reseek_tpu.io.reader import read_chains
+
+    chains = read_chains(args.input)
+    with open(args.accs) as f:
+        accs = [ln.strip() for ln in f if ln.strip()]
+    td1 = args.testdir.rstrip("/") + "/"
+    td2 = args.testdir2.rstrip("/") + "/"
+    out = open(args.output, "w") if args.output else None
+
+    def score_z(fn):
+        msa, _core, matched, maps = _msta_setup(fn, chains, args.core)
+        total = z_sum = 0.0
+        n = 0
+        for i in range(len(msa)):
+            for j in range(i + 1, len(msa)):
+                if i not in matched or j not in matched:
+                    continue
+                ci, cj = matched[i], matched[j]
+                both = (maps[i] >= 0) & (maps[j] >= 0)
+                s = dali_score(ci, cj, maps[i][both], maps[j][both])
+                total += s
+                z_sum += dali_z(s, len(ci), len(cj))
+                n += 1
+        return total, (z_sum / n if n else 0.0)
+
+    n1 = n2 = ntie = 0
+    sum1 = sum2 = sum_z1 = sum_z2 = 0.0
+    try:
+        for fn in accs:
+            s1, z1 = score_z(td1 + fn)
+            s2, z2 = score_z(td2 + fn)
+            sum_z1 += z1
+            sum_z2 += z2
+            if s1 == s2:
+                ntie += 1
+            elif s1 > s2:
+                n1 += 1
+            else:
+                n2 += 1
+            # dead clamping branches replicated (daliscore_msas2.cpp:
+            # 85-94: the first subtracts zero, the second zeroes s1)
+            if s1 < 0:
+                s1 = 0.0
+            if s2 < 0:
+                s2 = 0.0
+                s1 = 0.0
+            norm1 = s1 / (s1 + s2 + 1)
+            norm2 = s2 / (s1 + s2 + 1)
+            sum1 += norm1
+            sum2 += norm2
+            if out is not None:
+                out.write("aln=%s\tscore1=%.1f\tscore2=%.1f\tz1=%.1f"
+                          "\tz2=%.1f\tz2=%.1f\tnorm1=%.1f\tnorm2=%.1f\n"
+                          % (fn, s1, s2, z1, z2, z2, s1, s2))
+        n = len(accs)
+        if out is not None and n:
+            out.write("testdir1=%s\ttestdir2=%s\tn1better=%u"
+                      "\tn2better=%u\tntie=%u\tavg1=%.8f\tavg2=%.8f"
+                      "\tZ1=%.2f\tZ2=%.2f\n"
+                      % (td1, td2, n1, n2, ntie, sum1 / n, sum2 / n,
+                         sum_z1 / n, sum_z2 / n))
+    finally:
+        if out is not None:
+            out.close()
+    return 0
+
+
 def cmd_calibrate2(args) -> int:
     """-calibrate2 (src/calibrate2.cpp:55-142): fit the P-value model
     from a labeled all-vs-all benchmark — ROC steps over TS, FP rate
@@ -2889,6 +2966,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log")
     p.set_defaults(func=cmd_mudex)
 
+    p = sub.add_parser("daliscore-msas2",
+                       help="A/B-compare two MSA test dirs by DALI Z")
+    p.add_argument("accs")
+    p.add_argument("--input", required=True)
+    p.add_argument("--testdir", required=True)
+    p.add_argument("--testdir2", required=True)
+    p.add_argument("--core", action="store_true")
+    p.add_argument("--missingtestseqok", action="store_true")
+    p.add_argument("--output")
+    p.set_defaults(func=cmd_daliscore_msas2)
+
     p = sub.add_parser("calibrate2",
                        help="fit the P-value model from a labeled "
                             "all-vs-all benchmark")
@@ -2971,7 +3059,7 @@ def _reference_style(argv: List[str]) -> List[str]:
             "daliscore-tsv", "align-bag", "tracealn", "feature-stats",
             "test-gumbel", "scop40tsv2bit", "lddt-bench",
             "msta-lddtmuw", "msta-lddtmuw1", "mudex", "mukmerfilter",
-            "scan-files", "test-xdrop", "msa2cmp", "binner", "calibrate2"}
+            "scan-files", "test-xdrop", "msa2cmp", "binner", "calibrate2", "daliscore-msas2"}
     if not argv or not argv[0].startswith("-"):
         return argv
     head = argv[0].lstrip("-").replace("_", "-")

@@ -80,3 +80,20 @@ def test_core_columns():
     assert core.tolist() == [True, True, False, True]
     ctp = col_to_pos(rows[1], core)
     assert ctp.tolist() == [0, -1, -1, 2]
+
+
+def test_match_chains_sequence_only():
+    """DALIScorer matching semantics (src/daliscorer.cpp:134-162): a
+    sequence matches a chain iff the ungapped uppercased row equals the
+    chain seq — the label is NEVER consulted (regression: a row whose
+    label matches but whose residues differ must be treated as missing,
+    exactly like the reference; found by a live A/B cross-check of
+    daliscore-msas2 with a residue-swapped MSA)."""
+    import numpy as np
+    from reseek_tpu.benchmarks.msa import _match_chains
+    from reseek_tpu.chain import Chain
+    c = Chain("m0", "ACDEF", np.zeros((5, 3), np.float32))
+    msa_ok = [("wronglabel", "AC-DEF")]
+    msa_bad = [("m0", "AC-DFE")]  # label matches, residues swapped
+    assert 0 in _match_chains(msa_ok, [c])
+    assert 0 not in _match_chains(msa_bad, [c])

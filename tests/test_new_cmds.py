@@ -221,3 +221,24 @@ def test_calibrate2(tmp_path, capsys):
     rows = out.read_text().splitlines()
     assert rows[0] == "TS\tP\tMinusLogP\tMinusLogP_fit\tP_fit"
     assert len(rows) > 10
+
+
+def test_daliscore_msas2_golden(tmp_path):
+    """reseek -daliscore_msas2 with both testdirs holding the msta MSA:
+    byte-identical to the reference binary (incl. its duplicated-z2 and
+    norm-prints-score output quirks)."""
+    import shutil
+    td1, td2 = tmp_path / "td1", tmp_path / "td2"
+    td1.mkdir(); td2.mkdir()
+    shutil.copy(MSTA, td1 / "msta.afa")
+    shutil.copy(MSTA, td2 / "msta.afa")
+    accs = tmp_path / "accs.txt"
+    accs.write_text("msta.afa\n")
+    out = tmp_path / "out.tsv"
+    assert run_cli(["daliscore-msas2", str(accs), "--input", MSTA_SET,
+                    "--testdir", str(td1), "--testdir2", str(td2),
+                    "--output", str(out)]) == 0
+    with open(os.path.join(GOLDEN, "daliscore_msas2.tsv")) as f:
+        want = f.read().replace("/tmp/td1/", str(td1) + "/") \
+                       .replace("/tmp/td2/", str(td2) + "/")
+    assert out.read_text() == want
