@@ -427,11 +427,12 @@ def mu_scores_sweep(mu_db: jnp.ndarray, mu_rev_db: jnp.ndarray,
                     mumx_padded: jnp.ndarray, la: int, lb: int,
                     open_: float, ext: float):
     """(fwd, rev) Mu SW scores for each pair, same conventions as
-    mu_filter_mask_sweep."""
+    mu_filter_mask_sweep.  fwd and rev run as ONE [2B] kernel batch on
+    the mu_sw_scores path (bf16 smx on TPU)."""
     a = mu_db[idx_a][:, :la].astype(jnp.int32)
     ar = mu_rev_db[idx_a][:, :la].astype(jnp.int32)
     b = mu_db[idx_b][:, :lb].astype(jnp.int32)
-    fwd = sw_score_sweep_auto(mu_smx_onehot(a, b, mumx_padded), open_, ext)
-    rev = sw_score_sweep_auto(mu_smx_onehot(ar, b, mumx_padded),
-                              open_, ext)
-    return fwd, rev
+    both = mu_sw_scores(jnp.concatenate([a, ar]),
+                        jnp.concatenate([b, b]), mumx_padded, open_, ext)
+    n = a.shape[0]
+    return both[:n], both[n:]

@@ -145,6 +145,12 @@ class SearchDriver:
         return res
 
 
+def _fwd_displayed(options: "SearchOptions") -> bool:
+    """Whether output will display the raw forward score (dpscore/raw
+    columns) — controls the engine's display-boundary recompute check."""
+    return any(c in ("dpscore", "raw") for c in options.columns)
+
+
 def _tpu_available() -> bool:
     try:
         import jax
@@ -332,7 +338,8 @@ def _self_search_device(chains: List[Chain], params: DSSParams,
                     or math.isinf(options.max_evalue))
         by_pair = pipe.align_survivors(
             survivors, need_all_paths=need_all,
-            evalue_gate=None if need_all else options.max_evalue)
+            evalue_gate=None if need_all else options.max_evalue,
+            fwd_displayed=_fwd_displayed(options))
         for a, b, f in mkf_futs:
             res = f.result()
             if res is not None and res.path:
@@ -507,7 +514,8 @@ def _query_search_device(queries: List[Chain], db_iter,
 
             dev_results = pipe.align_survivors(
                 dev_pairs, need_all_paths=need_all,
-                evalue_gate=None if need_all else options.max_evalue)
+                evalue_gate=None if need_all else options.max_evalue,
+                fwd_displayed=_fwd_displayed(options))
             by_pair = {(a - nq, b): r
                        for (a, b), r in dev_results.items() if r.path}
             for t_i, q_i, f in mkf_futs:
@@ -771,7 +779,8 @@ def _fast_align_device(drv: SearchDriver, q_ecs: List[EncodedChain],
                         for a, b in pairs[is_long]]
             by_pair = pipe.align_survivors(
                 dev_pairs, need_all_paths=need_all,
-                evalue_gate=None if need_all else options.max_evalue)
+                evalue_gate=None if need_all else options.max_evalue,
+                fwd_displayed=_fwd_displayed(options))
             for a, b, f in mkf_futs:
                 res = f.result()
                 if res is not None and res.path:

@@ -661,6 +661,42 @@ def _stage3_fn(le: int, pad_code: int, open_: float, ext: float,
     return jax.jit(_stage3_body(le, le, pad_code, open_, ext, use_pallas))
 
 
+@functools.lru_cache(maxsize=None)
+def _stage1_scores_multi(le: int, k: int, o: float, e: float):
+    """K stage1_scores chunks in one launch (see _stage3_fn_multi)."""
+    import jax
+    from reseek_tpu.ops.sw_sweep import mu_scores_sweep
+
+    def multi(mu, mu_rev, mumx, ia_k, ib_k):
+        return jax.lax.map(
+            lambda ab: mu_scores_sweep(mu, mu_rev, ab[0], ab[1], mumx,
+                                       le, le, o, e),
+            (ia_k, ib_k))
+
+    return jax.jit(multi)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage3_fn_multi(le: int, k: int, pad_code: int, open_: float,
+                     ext: float, use_pallas: bool):
+    """K survivor chunks in ONE launch: idx arrays are [k, bs] and
+    lax.map runs the fused align+LDDT body chunk-by-chunk on device
+    (single dispatch + single fetch instead of one per chunk — at the
+    1k-chain scale stage 3 makes ~900 chunk dispatches whose per-launch
+    latency through the device link dominates the host-side wall).
+    Memory stays one chunk (lax.map, not vmap)."""
+    import jax
+    body = _stage3_body(le, le, pad_code, open_, ext, use_pallas)
+
+    def multi(prof_db, coords_db, idx_a_k, idx_b_k, w, offsets):
+        return jax.lax.map(
+            lambda ab: body(prof_db, coords_db, ab[0], ab[1], w,
+                            offsets),
+            (idx_a_k, idx_b_k))
+
+    return jax.jit(multi)
+
+
 def _stage3_body(la: int, lb: int, pad_code: int, open_: float, ext: float,
                  use_pallas: bool):
     """Fused survivor kernel: full-profile SW with traceback, on-device
@@ -997,6 +1033,9 @@ class DeviceSelfSearch:
         for le in sorted({int(x) for x in be}):
             rows = np.flatnonzero(be == le)
             bs = _batch_shape(len(rows), le, STAGE1_CELLS // 2)
+            # K chunks per launch (lax.map tiers) — same per-dispatch
+            # latency amortization as align_survivors
+            pend = []
             for kk in range(0, len(rows), bs):
                 rr = rows[kk: kk + bs]
                 chunk = pairs_orig[rr]
@@ -1004,21 +1043,30 @@ class DeviceSelfSearch:
                 if n < bs:
                     chunk = np.concatenate(
                         [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-                idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
-                idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
-                fwd, rev = mu_scores_sweep(
-                    self.mu, self.mu_rev, idx_a, idx_b, self.mumx,
-                    le, le, o, e)
-                jobs.append((fwd, rev, rr, n))
-        fetched = jax.device_get([(f, r) for f, r, _, _ in jobs])
-        for (fwd, rev), (_, _, rr, n) in zip(fetched, jobs):
-            fwd = fwd[:n].copy()
-            rev = rev[:n].copy()
-            fwd[fwd > MU_SAT_LIMIT] = MU_SAT_SCORE
-            rev[rev > MU_SAT_LIMIT] = MU_SAT_REV_SCORE
-            val = fwd - rev
-            val[fwd < np.float32(self.params.omega_fwd)] = 0.0
-            out[rr] = val
+                pend.append((rr, n, self.sorted_of[chunk[:, 0]],
+                             self.sorted_of[chunk[:, 1]]))
+            pos = 0
+            for ktier in (16, 4, 1):
+                fnm = None
+                while len(pend) - pos >= ktier:
+                    grp = pend[pos: pos + ktier]
+                    pos += ktier
+                    if fnm is None:
+                        fnm = _stage1_scores_multi(le, ktier, o, e)
+                    ia = jnp.asarray(np.stack([g[2] for g in grp]))
+                    ib = jnp.asarray(np.stack([g[3] for g in grp]))
+                    r = fnm(self.mu, self.mu_rev, self.mumx, ia, ib)
+                    jobs.append((r, [(g[0], g[1]) for g in grp]))
+        fetched = jax.device_get([r for r, _ in jobs])
+        for (fwd_k, rev_k), (_, metas) in zip(fetched, jobs):
+            for t, (rr, n) in enumerate(metas):
+                fwd = fwd_k[t][:n].copy()
+                rev = rev_k[t][:n].copy()
+                fwd[fwd > MU_SAT_LIMIT] = MU_SAT_SCORE
+                rev[rev > MU_SAT_LIMIT] = MU_SAT_REV_SCORE
+                val = fwd - rev
+                val[fwd < np.float32(self.params.omega_fwd)] = 0.0
+                out[rr] = val
         return out
 
     # -- stage 2: score-only full-profile SW -----------------------------
@@ -1229,9 +1277,18 @@ class DeviceSelfSearch:
     def align_survivors(self, pairs_orig: np.ndarray,
                         need_all_paths: bool = False,
                         fwd_prefilter: bool = False,
-                        evalue_gate: Optional[float] = None):
+                        evalue_gate: Optional[float] = None,
+                        fwd_displayed: bool = True):
         """Full alignment of (i, j) original-index pairs.  Returns a dict
         {(i, j): AlignResult} including only alignments with a path.
+
+        fwd_displayed: whether the caller will DISPLAY the raw forward
+        score (dpscore %.4g / raw %.3g columns).  When False, the
+        display-boundary check on fwd is skipped, so only gate/stat
+        boundaries can trigger the exact native-SW recompute — on
+        hit-dense workloads that check dominates the host finish
+        (PROFILE.md: 10,130 of 13,406 results recomputed at the 1k
+        scale, almost all from the unused display check).
 
         fwd_prefilter enables a two-phase mode (SURVEY §7): a score-only
         prepass drops pairs that cannot reach MinFwdScore (reference gate
@@ -1271,27 +1328,64 @@ class DeviceSelfSearch:
                 fn = _stage3_fn_sharded(
                     self.mesh, self.mesh_axis, le, self.pad_code,
                     float(p.gap_open), float(p.gap_ext), use_pallas)
+                for kk in range(0, len(rows), bs):
+                    rr = rows[kk: kk + bs]
+                    chunk = pairs_orig[rr]
+                    n = len(chunk)
+                    if n < bs:
+                        chunk = np.concatenate(
+                            [chunk,
+                             np.repeat(chunk[-1:], bs - n, axis=0)])
+                    idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
+                    idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
+                    r = fn(self.prof, self.coords, idx_a, idx_b,
+                           self.w, self.offsets)
+                    jobs.append((r, [(rr, chunk[:n])]))
             else:
-                fn = _stage3_fn(le, self.pad_code,
+                # single device: K chunks per LAUNCH via lax.map tiers —
+                # per-launch dispatch latency dominates the host wall
+                # when chunk counts reach the hundreds (PROFILE.md)
+                pend = []
+                for kk in range(0, len(rows), bs):
+                    rr = rows[kk: kk + bs]
+                    chunk = pairs_orig[rr]
+                    n = len(chunk)
+                    if n < bs:
+                        chunk = np.concatenate(
+                            [chunk,
+                             np.repeat(chunk[-1:], bs - n, axis=0)])
+                    pend.append((rr, chunk[:n],
+                                 self.sorted_of[chunk[:, 0]],
+                                 self.sorted_of[chunk[:, 1]]))
+                pos = 0
+                for ktier in (16, 4, 1):
+                    fnm = None
+                    while len(pend) - pos >= ktier:
+                        grp = pend[pos: pos + ktier]
+                        pos += ktier
+                        if fnm is None:
+                            fnm = _stage3_fn_multi(
+                                le, ktier, self.pad_code,
                                 float(p.gap_open), float(p.gap_ext),
                                 use_pallas)
-            for kk in range(0, len(rows), bs):
-                rr = rows[kk: kk + bs]
-                chunk = pairs_orig[rr]
-                n = len(chunk)
-                if n < bs:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-                idx_a = jnp.asarray(self.sorted_of[chunk[:, 0]])
-                idx_b = jnp.asarray(self.sorted_of[chunk[:, 1]])
-                r = fn(self.prof, self.coords, idx_a, idx_b,
-                       self.w, self.offsets)
-                jobs.append((r, rr, chunk[:n]))
+                        ia = jnp.asarray(np.stack([g[2] for g in grp]))
+                        ib = jnp.asarray(np.stack([g[3] for g in grp]))
+                        r = fnm(self.prof, self.coords, ia, ib,
+                                self.w, self.offsets)
+                        jobs.append((r, [(g[0], g[1]) for g in grp]))
         # one batched fetch for every job's packed outputs (per-array
         # fetches through the tunnel cost ~40-100 ms latency each)
         import jax
-        fetched = jax.device_get([r for r, _, _ in jobs])
-        for (scal, packed), (_, rr, chunk) in zip(fetched, jobs):
+        fetched = jax.device_get([r for r, _ in jobs])
+        flat = []
+        for (scal_all, packed_all), (_, metas) in zip(fetched, jobs):
+            if scal_all.ndim == 2:  # sharded per-chunk launch
+                flat.append((scal_all, packed_all) + metas[0])
+            else:                   # stacked multi-chunk launch
+                for t, (rr_t, chunk_t) in enumerate(metas):
+                    flat.append((scal_all[t], packed_all[t], rr_t,
+                                 chunk_t))
+        for scal, packed, rr, chunk in flat:
             best, lo_a, lo_b, hi_a, hi_b, plen, lddt, n_m, risky = (
                 scal[:, 0], scal[:, 1].astype(np.int64),
                 scal[:, 2].astype(np.int64), scal[:, 3].astype(np.int64),
@@ -1366,9 +1460,15 @@ class DeviceSelfSearch:
                     lddt_rec[kk] = True
                 if ("%.3g" % pvf_lo[kk] != "%.3g" % pvf_hi[kk]
                         or "%.3g" % evf_lo[kk] != "%.3g" % evf_hi[kk]
-                        or "%.3g" % tsf_lo[kk] != "%.3g" % tsf_hi[kk]
-                        or "%.1f" % np.float32(best[kk] - fband[kk])
-                        != "%.1f" % np.float32(best[kk] + fband[kk])):
+                        or "%.3g" % tsf_lo[kk] != "%.3g" % tsf_hi[kk]):
+                    fwd_rec[kk] = True
+                elif fwd_displayed and (
+                        # dpscore %.4g / raw %.3g display boundaries
+                        # (align/output.py:140-142)
+                        "%.4g" % np.float32(best[kk] - fband[kk])
+                        != "%.4g" % np.float32(best[kk] + fband[kk])
+                        or "%.3g" % np.float32(best[kk] - fband[kk])
+                        != "%.3g" % np.float32(best[kk] + fband[kk])):
                     fwd_rec[kk] = True
             ts, pv, ev = _vector_stats(best[:n], lddt[:n], sa, sb,
                                        la_v, lb_v)
