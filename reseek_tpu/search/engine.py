@@ -469,6 +469,18 @@ STAGE3_CELLS = int(os.environ.get("RESEEK_STAGE3_CELLS", str(1 << 26)))
 # on real profiles; the guard band keeps every pair that could exactly
 # pass MinFwdScore in stage 3, where the bit-exact kernel re-gates.
 STAGE2_GUARD = np.float32(0.5)
+
+
+def _E_PREPASS_MIN() -> int:
+    """Survivor count above which align_survivors runs the E-bound
+    score-only prepass; 0 (the default) disables it.  Measured at the
+    1k-chain workload the prepass LOSES ~1 s/pass: its LDDT<=1 bound is
+    too loose when forward scores are high (homolog-dense sets), so the
+    full-profile sweep cost isn't recovered.  Kept opt-in
+    (RESEEK_E_PREPASS_MIN=N) for sparse-hit workloads where most
+    survivors fail the E-gate on fwd alone; byte-parity is
+    regression-tested with the prepass forced on."""
+    return int(os.environ.get("RESEEK_E_PREPASS_MIN", "0"))
 EDGE_SET = (128, 256, 512, 1024, 2048, 4096, 8192)
 MU_SAT_LIMIT = 250.0      # parasail 8-bit: saturated iff score > 250
 MU_SAT_SCORE = 777.0      # forced FWD score on saturation
@@ -1308,6 +1320,32 @@ class DeviceSelfSearch:
             pre = self.stage2_scores(pairs_orig)
             pairs_orig = pairs_orig[
                 pre >= np.float32(p.min_fwd_score) - STAGE2_GUARD]
+            if len(pairs_orig) == 0:
+                return results
+        _epm = _E_PREPASS_MIN()
+        if (evalue_gate is not None and not need_all_paths
+                and _epm > 0 and len(pairs_orig) >= _epm):
+            # E-bound prepass: the fused traceback+LDDT kernel costs ~10x
+            # the score-only sweep per cell, and on hit-dense workloads
+            # most survivors are later rejected by the E-gate (1k scale:
+            # 84,671 -> 13,406).  TS is monotone increasing in both fwd
+            # and LDDT, so stats at (sweep_fwd + GUARD, LDDT = 1.0) give
+            # a rigorous LOWER bound on any pair's final E-value; pairs
+            # whose best-possible E still exceeds the gate can never
+            # emit a row and skip the traceback kernel entirely.  The
+            # relative margin covers f32 ulp wobble in the stat chain
+            # (the 0.5-score guard alone adds ~3e-3 ts slack, >> ulp).
+            pre = self.stage2_scores(pairs_orig)
+            sa_p = np.array([self.ecs[i].self_rev_score
+                             for i in pairs_orig[:, 0]], np.float32)
+            sb_p = np.array([self.ecs[j].self_rev_score
+                             for j in pairs_orig[:, 1]], np.float32)
+            _, _, ev_min = _vector_stats(
+                pre + STAGE2_GUARD, np.ones(len(pre), np.float32),
+                sa_p, sb_p, self.lens[pairs_orig[:, 0]],
+                self.lens[pairs_orig[:, 1]])
+            pairs_orig = pairs_orig[
+                ev_min <= np.float32(evalue_gate) * np.float32(1.0001)]
             if len(pairs_orig) == 0:
                 return results
         use_pallas = _use_pallas()

@@ -105,3 +105,18 @@ def test_q10_sharded_mesh_byte_identical():
     self_search(chains, params, options, buf_one, engine="device")
     assert buf_mesh.getvalue() == buf_one.getvalue()
     assert buf_mesh.getvalue().count("\n") > 5
+
+
+def test_q10_device_with_e_prepass_byte_identical(monkeypatch):
+    """The E-bound score-only prepass (skips the traceback kernel for
+    pairs whose best-possible E exceeds the gate) must not change a
+    single output byte — forced on with RESEEK_E_PREPASS_MIN=1."""
+    monkeypatch.setenv("RESEEK_E_PREPASS_MIN", "1")
+    params = DSSParams.create("sensitive")
+    options = SearchOptions(columns=parse_columns(COLUMNS),
+                            max_evalue=10.0, mode="sensitive")
+    chains = read_bca(os.path.join(REF_TEST_DATA, "q10.bca"))
+    buf = io.StringIO()
+    self_search(chains, params, options, buf, engine="device")
+    golden = open(os.path.join(GOLDEN, "q10_sens.tsv")).read()
+    assert buf.getvalue() == golden
