@@ -184,7 +184,7 @@ def cmd_search(args) -> int:
             drv = distributed_fast_search(
                 chains, args.db, options, out if pid == 0 else None,
                 scratch_dir=scratch, dbmu=args.dbmu,
-                prefilter_mode=pf_mode,
+                prefilter_mode=pf_mode, resume=args.resume,
                 engine="device" if args.engine == "device" else "host")
         elif args.db and mode == "fast":
             from reseek_tpu.search.driver import fast_search
@@ -2582,6 +2582,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scratch", default=None,
                    help="multi-host run: shared scratch dir for per-host "
                         "row files (default: alongside --output)")
+    p.add_argument("--resume", action="store_true",
+                   help="multi-host run: skip shards whose row files "
+                        "already completed (restart checkpoint)")
     p.set_defaults(func=cmd_search)
 
     p = sub.add_parser("alignpair", help="align best chain pair of two files")

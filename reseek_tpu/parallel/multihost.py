@@ -83,7 +83,8 @@ def _mesh_shard_ranges(mesh, n_targets: int):
 def distributed_fast_search(queries, db, options, out,
                             scratch_dir: str, dbmu: Optional[str] = None,
                             top_b: int = 1500, prefilter_mode=None,
-                            engine: str = "host", mesh=None):
+                            engine: str = "host", mesh=None,
+                            resume: bool = False):
     """End-to-end multi-host -fast search (SURVEY §2.8 items 2-4; no
     reference counterpart — the reference is single-node,
     src/runthreads.cpp:4-17).  Every process runs this same function:
@@ -106,7 +107,11 @@ def distributed_fast_search(queries, db, options, out,
     `db` is a .bca path (random-access stage-2 re-reads, like the
     reference's BCAData::ReadChain) or an in-memory chain list.  `dbmu`
     names a Mu-letter FASTA so stage 1 skips DB encoding (-dbmu).
-    Returns this process's SearchDriver (row counts cover its shard)."""
+    `resume=True` makes completed shards restartable: per-host row
+    files are written atomically (tmp + rename), so after a partial
+    failure re-running the same command skips every shard whose
+    rows.<pid> already exists.  Returns this process's SearchDriver
+    (row counts cover its shard)."""
     import os
 
     import jax
@@ -187,15 +192,28 @@ def distributed_fast_search(queries, db, options, out,
             for t in tidxs:
                 yield t, db[t]
 
+    # per-host row files double as RESTART CHECKPOINTS (SURVEY §5:
+    # "persistent artifacts act as stage checkpoints... resumable
+    # per-shard scan"): rows are written to a .tmp and renamed only on
+    # completion, so a completed shard is exactly "rows.<pid> exists".
+    # With resume=True a host whose shard already completed skips its
+    # stage-2 work entirely and goes straight to the barrier.
     rows_fn = os.path.join(scratch_dir, f"rows.{pid}")
-    with open(rows_fn, "w") as rows_out:
-        drv = SearchDriver(sens, options, rows_out)
+    if resume and os.path.exists(rows_fn):
+        drv = SearchDriver(sens, options, open(os.devnull, "w"))
         drv.query_count = nq
-        if engine == "device":
-            _fast_align_device(drv, q_ecs, survivor_chains(), t2q, sens,
-                               options)
-        else:
-            _fast_align_host(drv, q_ecs, survivor_chains(), t2q, sens)
+    else:
+        tmp_fn = rows_fn + ".tmp"
+        with open(tmp_fn, "w") as rows_out:
+            drv = SearchDriver(sens, options, rows_out)
+            drv.query_count = nq
+            if engine == "device":
+                _fast_align_device(drv, q_ecs, survivor_chains(), t2q,
+                                   sens, options)
+            else:
+                _fast_align_host(drv, q_ecs, survivor_chains(), t2q,
+                                 sens)
+        os.replace(tmp_fn, rows_fn)
     drv.processed_pairs = nq * (proc_hi - proc_lo)
 
     # 4: barrier, then ordered concatenation on process 0

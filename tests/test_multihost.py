@@ -99,3 +99,34 @@ def test_two_process_truncated_topb_matches_single():
         one = _run_workers(nproc=1, top_b=4, scratch=d1)
     assert two == one
     assert two.count("\n") > 0  # top_b=4 still yields rows
+
+
+def test_distributed_resume_skips_completed_shard(tmp_path):
+    """resume=True: a shard whose rows.<pid> checkpoint already exists
+    skips stage 2 and its file is used verbatim in the merge (atomic
+    tmp+rename completion semantics, SURVEY §5 resumable scan)."""
+    import io
+
+    from reseek_tpu.align.output import parse_columns
+    from reseek_tpu.io.bca import read_bca
+    from reseek_tpu.parallel.multihost import distributed_fast_search
+    from reseek_tpu.search.driver import SearchOptions
+
+    ref = os.environ.get("REF_TEST_DATA", "/root/reference/test_data")
+    queries = read_bca(os.path.join(ref, "q10.bca"))[:3]
+    options = SearchOptions(columns=parse_columns("std"),
+                            max_evalue=10.0, mode="fast")
+    sentinel = "SENTINEL\tROW\t0\n"
+    (tmp_path / "rows.0").write_text(sentinel)
+    buf = io.StringIO()
+    distributed_fast_search(queries, os.path.join(ref, "q100.bca"),
+                            options, buf, scratch_dir=str(tmp_path),
+                            resume=True)
+    assert buf.getvalue() == sentinel  # stage 2 skipped, file reused
+
+    # without resume the checkpoint is overwritten by real rows
+    buf2 = io.StringIO()
+    distributed_fast_search(queries, os.path.join(ref, "q100.bca"),
+                            options, buf2, scratch_dir=str(tmp_path))
+    assert "SENTINEL" not in buf2.getvalue()
+    assert buf2.getvalue().count("\n") > 0
