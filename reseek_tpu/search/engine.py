@@ -508,11 +508,13 @@ def _edges_for(params: DSSParams, lmax: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
-def _batch_shape(n: int, le: int, cells: int, multiple: int = 1) -> int:
+def _batch_shape(n: int, le: int, cells: int, multiple: int = 1,
+                 le_b: Optional[int] = None) -> int:
     """Per-launch batch size: the cell budget capped, but no larger than
     the next power of two >= n (so small jobs don't pad to huge compiled
-    shapes; shape count per edge stays O(log))."""
-    cap = max(8, cells // (le * le))
+    shapes; shape count per edge stays O(log)).  le_b gives the second
+    edge of a rectangular shape (default: square)."""
+    cap = max(8, cells // (le * (le_b if le_b is not None else le)))
     p = 8
     while p < n:
         p *= 2
@@ -544,13 +546,14 @@ def _packbits_device(mask):
     return jnp.sum(b * w, axis=-1).astype(jnp.uint8)
 
 
-def _stage1_body(le: int, ca: int, cb: int, open_: float,
+def _stage1_body(lea: int, leb: int, ca: int, cb: int, open_: float,
                  ext: float, omega_fwd: float, omega: float):
     """One (ca x cb) pair block of the self-search Mu filter; pair indices
-    generated on device from range scalars.  Both sides are padded to the
-    same 128-aligned edge `le` (padding letter 36 scores NEG/2 and cannot
-    change the integer-exact DP best).  Returns packed pass bits
-    [ca*cb//8]."""
+    generated on device from range scalars.  The A side pads to its own
+    bucket's 128-aligned edge and the B side to its (>=) bucket's edge —
+    RECTANGULAR DP when the buckets differ (padding letter 36 scores
+    NEG/2 and cannot change the integer-exact DP best).  Returns packed
+    pass bits [ca*cb//8]."""
     import jax.numpy as jnp
     from reseek_tpu.ops.sw_sweep import mu_sw_scores
 
@@ -567,9 +570,9 @@ def _stage1_body(le: int, ca: int, cb: int, open_: float,
         ibc = jnp.clip(ib, 0, n - 1)
         idx_a = jnp.repeat(iac, cb)
         idx_b = jnp.tile(ibc, ca)
-        a = mu[idx_a][:, :le].astype(jnp.int32)
-        ar = mu_rev[idx_a][:, :le].astype(jnp.int32)
-        b = mu[idx_b][:, :le].astype(jnp.int32)
+        a = mu[idx_a][:, :lea].astype(jnp.int32)
+        ar = mu_rev[idx_a][:, :lea].astype(jnp.int32)
+        b = mu[idx_b][:, :leb].astype(jnp.int32)
         # fwd and rev in one kernel launch ([2B] batch); the fused-smx
         # kernel builds substitution rows in VMEM (no HBM smx tensor)
         both = mu_sw_scores(jnp.concatenate([a, ar]),
@@ -590,12 +593,12 @@ def _stage1_body(le: int, ca: int, cb: int, open_: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_block_fn(le: int, ca: int, cb: int,
+def _stage1_block_fn(lea: int, leb: int, ca: int, cb: int,
                      open_: float, ext: float, omega_fwd: float,
                      omega: float):
     """Compiled single-device stage-1 block (returns bits [1, ca*cb//8])."""
     import jax
-    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
+    body = _stage1_body(lea, leb, ca, cb, open_, ext, omega_fwd, omega)
 
     def block(mu, mu_rev, mumx, a0, b0, a1, b1):
         return body(mu, mu_rev, mumx, a0, b0, a1, b1)[None]
@@ -604,7 +607,7 @@ def _stage1_block_fn(le: int, ca: int, cb: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_block_fn_multi(le: int, ca: int, cb: int, k: int,
+def _stage1_block_fn_multi(lea: int, leb: int, ca: int, cb: int, k: int,
                            open_: float, ext: float, omega_fwd: float,
                            omega: float):
     """K stage-1 blocks in ONE kernel launch: block starts are [k]
@@ -613,7 +616,7 @@ def _stage1_block_fn_multi(le: int, ca: int, cb: int, k: int,
     through the device link costs tens of ms).  Memory stays one block
     (lax.map, not vmap).  Returns bits [k, ca*cb//8]."""
     import jax
-    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
+    body = _stage1_body(lea, leb, ca, cb, open_, ext, omega_fwd, omega)
 
     def multi(mu, mu_rev, mumx, a0v, b0v, a1v, b1v):
         def one(args):
@@ -626,8 +629,8 @@ def _stage1_block_fn_multi(le: int, ca: int, cb: int, k: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_block_fn_sharded(mesh, axis: str, le: int, ca: int,
-                             cb: int, open_: float, ext: float,
+def _stage1_block_fn_sharded(mesh, axis: str, lea: int, leb: int,
+                             ca: int, cb: int, open_: float, ext: float,
                              omega_fwd: float, omega: float):
     """Sharded stage-1: each mesh device runs one (ca x cb) block with its
     own (a0, b0) start (SURVEY §2.8 item 2 — DB pair blocks over the mesh
@@ -636,7 +639,7 @@ def _stage1_block_fn_sharded(mesh, axis: str, le: int, ca: int,
     arrays are replicated.  Returns bits [n_dev, ca*cb//8]."""
     import jax
     from jax.sharding import PartitionSpec as P
-    body = _stage1_body(le, ca, cb, open_, ext, omega_fwd, omega)
+    body = _stage1_body(lea, leb, ca, cb, open_, ext, omega_fwd, omega)
 
     def local(mu, mu_rev, mumx, a0v, b0v, a1, b1):
         return body(mu, mu_rev, mumx, a0v[0], b0v[0], a1[0], b1[0])[None]
@@ -674,7 +677,8 @@ def _stage3_fn(le: int, pad_code: int, open_: float, ext: float,
 
 
 @functools.lru_cache(maxsize=None)
-def _stage1_scores_multi(le: int, k: int, o: float, e: float):
+def _stage1_scores_multi(lea: int, leb: int, k: int, o: float,
+                         e: float):
     """K stage1_scores chunks in one launch (see _stage3_fn_multi)."""
     import jax
     from reseek_tpu.ops.sw_sweep import mu_scores_sweep
@@ -682,15 +686,31 @@ def _stage1_scores_multi(le: int, k: int, o: float, e: float):
     def multi(mu, mu_rev, mumx, ia_k, ib_k):
         return jax.lax.map(
             lambda ab: mu_scores_sweep(mu, mu_rev, ab[0], ab[1], mumx,
-                                       le, le, o, e),
+                                       lea, leb, o, e),
             (ia_k, ib_k))
 
     return jax.jit(multi)
 
 
+def _rect_edges(ea: np.ndarray, eb: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-pair compiled DP shape: RECTANGULAR (A-edge x B-edge) when the
+    sides differ by >= 2x — a 100x500 pair in a 512x512 square bucket is
+    ~5x padding, and rectangles cut the 1k workload's stage-3 cells to
+    ~65% — else the max-edge SQUARE (near-square rectangles would
+    multiply compiled shapes for little saving; remote compiles are
+    minutes).  RESEEK_RECT=0 forces all-square."""
+    emax = np.maximum(ea, eb)
+    if os.environ.get("RESEEK_RECT", "1") == "0":
+        return emax, emax
+    rect = emax >= 2 * np.minimum(ea, eb)
+    return (np.where(rect, ea, emax).astype(ea.dtype),
+            np.where(rect, eb, emax).astype(eb.dtype))
+
+
 @functools.lru_cache(maxsize=None)
-def _stage3_fn_multi(le: int, k: int, pad_code: int, open_: float,
-                     ext: float, use_pallas: bool):
+def _stage3_fn_multi(lea: int, leb: int, k: int, pad_code: int,
+                     open_: float, ext: float, use_pallas: bool):
     """K survivor chunks in ONE launch: idx arrays are [k, bs] and
     lax.map runs the fused align+LDDT body chunk-by-chunk on device
     (single dispatch + single fetch instead of one per chunk — at the
@@ -698,7 +718,7 @@ def _stage3_fn_multi(le: int, k: int, pad_code: int, open_: float,
     latency through the device link dominates the host-side wall).
     Memory stays one chunk (lax.map, not vmap)."""
     import jax
-    body = _stage3_body(le, le, pad_code, open_, ext, use_pallas)
+    body = _stage3_body(lea, leb, pad_code, open_, ext, use_pallas)
 
     def multi(prof_db, coords_db, idx_a_k, idx_b_k, w, offsets):
         return jax.lax.map(
@@ -1037,14 +1057,20 @@ class DeviceSelfSearch:
             return out
         o, e = -float(p.para_mu_gap_open), -float(p.para_mu_gap_ext)
         edges = np.asarray(self.edges)
-        be = edges[np.minimum(
-            np.searchsorted(edges, np.maximum(self.lens[pairs_orig[:, 0]],
-                                              self.lens[pairs_orig[:, 1]])),
-            len(edges) - 1)]
+
+        def eof(lv):
+            return edges[np.minimum(np.searchsorted(edges, lv),
+                                    len(edges) - 1)]
+
+        ra, rb = _rect_edges(eof(self.lens[pairs_orig[:, 0]]),
+                             eof(self.lens[pairs_orig[:, 1]]))
+        keys = ra.astype(np.int64) * (1 << 20) + rb
         jobs = []
-        for le in sorted({int(x) for x in be}):
-            rows = np.flatnonzero(be == le)
-            bs = _batch_shape(len(rows), le, STAGE1_CELLS // 2)
+        for key in sorted({int(x) for x in keys}):
+            lea, leb = int(key >> 20), int(key & ((1 << 20) - 1))
+            rows = np.flatnonzero(keys == key)
+            bs = _batch_shape(len(rows), lea, STAGE1_CELLS // 2,
+                              le_b=leb)
             # K chunks per launch (lax.map tiers) — same per-dispatch
             # latency amortization as align_survivors
             pend = []
@@ -1064,7 +1090,7 @@ class DeviceSelfSearch:
                     grp = pend[pos: pos + ktier]
                     pos += ktier
                     if fnm is None:
-                        fnm = _stage1_scores_multi(le, ktier, o, e)
+                        fnm = _stage1_scores_multi(lea, leb, ktier, o, e)
                     ia = jnp.asarray(np.stack([g[2] for g in grp]))
                     ib = jnp.asarray(np.stack([g[3] for g in grp]))
                     r = fnm(self.mu, self.mu_rev, self.mumx, ia, ib)
@@ -1171,14 +1197,20 @@ class DeviceSelfSearch:
         compiles are minutes); block dims clamp to the range sizes (pow2)
         so tiny buckets don't pad to full blocks.  Exposed for tools that
         account DP cells / launch counts (tools/bench_device_scale.py)."""
-        groups: Dict[Tuple[int, int, int], list] = {}
+        groups: Dict[Tuple[int, int, int, int], list] = {}
         dev = self._device_ranges()
         for ai, a0, a1 in dev:
             for bi_, b0, b1 in dev:
                 if bi_ < ai:
                     continue
-                le = self.edges[bi_]
-                budget = max(256, STAGE1_CELLS // (le * le))
+                # rectangular (A-bucket x B-bucket) DP when the buckets
+                # differ >= 2x (see _rect_edges); else the B bucket's
+                # square — cuts the 1k workload's stage-1 cells ~35%
+                lea_a, leb_a = _rect_edges(
+                    np.array([self.edges[ai]]),
+                    np.array([self.edges[bi_]]))
+                lea, leb = int(lea_a[0]), int(leb_a[0])
+                budget = max(256, STAGE1_CELLS // (lea * leb))
                 ca = 8
                 while ca < min(64, a1 - a0, budget):
                     ca *= 2
@@ -1188,7 +1220,8 @@ class DeviceSelfSearch:
                 for ba in range(a0, a1, ca):
                     for bb in range(b0, b1, cb):
                         if bb + cb > ba:  # skip below-diagonal blocks
-                            groups.setdefault((le, ca, cb), []).append(
+                            groups.setdefault((lea, leb, ca, cb),
+                                              []).append(
                                 (ba, bb, a1, b1))
         return groups
 
@@ -1216,33 +1249,42 @@ class DeviceSelfSearch:
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             jobs = []  # (handle, [(ba, bb)] per row, ca, cb)
             groups = self.stage1_block_plan()
-            for (le, ca, cb), starts in groups.items():
+            for (lea, leb, ca, cb), starts in groups.items():
                 if self.mesh is None:
-                    k = 1
-                    while k < len(starts):
-                        k *= 2
-                    fn = _stage1_block_fn_multi(
-                        le, ca, cb, k, o, e,
-                        float(p.omega_fwd), float(p.omega))
-                    pad = k - len(starts)
-                    # padding blocks use a1 = b1 = 0 so every candidate
-                    # fails the range check and contributes no pairs
-                    av = np.array([s[0] for s in starts] + [0] * pad,
-                                  np.int32)
-                    bv = np.array([s[1] for s in starts] + [0] * pad,
-                                  np.int32)
-                    a1v = np.array([s[2] for s in starts] + [0] * pad,
-                                   np.int32)
-                    b1v = np.array([s[3] for s in starts] + [0] * pad,
-                                   np.int32)
-                    r = fn(self.mu, self.mu_rev, self.mumx,
-                           jnp.asarray(av), jnp.asarray(bv),
-                           jnp.asarray(a1v), jnp.asarray(b1v))
-                    jobs.append((r, [(s[0], s[1]) for s in starts],
-                                 ca, cb))
+                    # launch in FIXED k tiers (not pow2-of-count): the
+                    # compiled shape set stays identical across workload
+                    # sizes, so the persistent compile cache keeps
+                    # warmups bounded.  The last sub-64 group pads up to
+                    # its tier with a1 = b1 = 0 blocks (every candidate
+                    # fails the range check, contributing no pairs).
+                    pos = 0
+                    while pos < len(starts):
+                        for ktier in (64, 16, 4, 1):
+                            if (len(starts) - pos >= ktier
+                                    or ktier == 1):
+                                break
+                        grp = starts[pos: pos + ktier]
+                        pos += ktier
+                        pad = ktier - len(grp)
+                        fn = _stage1_block_fn_multi(
+                            lea, leb, ca, cb, ktier, o, e,
+                            float(p.omega_fwd), float(p.omega))
+                        av = np.array([s[0] for s in grp] + [0] * pad,
+                                      np.int32)
+                        bv = np.array([s[1] for s in grp] + [0] * pad,
+                                      np.int32)
+                        a1v = np.array([s[2] for s in grp] + [0] * pad,
+                                       np.int32)
+                        b1v = np.array([s[3] for s in grp] + [0] * pad,
+                                       np.int32)
+                        r = fn(self.mu, self.mu_rev, self.mumx,
+                               jnp.asarray(av), jnp.asarray(bv),
+                               jnp.asarray(a1v), jnp.asarray(b1v))
+                        jobs.append((r, [(s[0], s[1]) for s in grp],
+                                     ca, cb))
                 else:
                     fn = _stage1_block_fn_sharded(
-                        self.mesh, self.mesh_axis, le, ca, cb,
+                        self.mesh, self.mesh_axis, lea, leb, ca, cb,
                         o, e, float(p.omega_fwd), float(p.omega))
                     for g in range(0, len(starts), n_dev):
                         grp = starts[g: g + n_dev]
@@ -1350,18 +1392,28 @@ class DeviceSelfSearch:
                 return results
         use_pallas = _use_pallas()
         edges = np.asarray(self.edges)
-        # square 128-aligned shapes keyed by the pair's max length: one
-        # compiled kernel per edge (not per (la, lb) combination)
-        be = edges[np.minimum(
-            np.searchsorted(edges, np.maximum(self.lens[pairs_orig[:, 0]],
-                                              self.lens[pairs_orig[:, 1]])),
-            len(edges) - 1)]
+
+        def eof(lv):
+            return edges[np.minimum(np.searchsorted(edges, lv),
+                                    len(edges) - 1)]
+
+        ea = eof(self.lens[pairs_orig[:, 0]])
+        eb = eof(self.lens[pairs_orig[:, 1]])
+        if self.mesh is not None:
+            # mesh path keeps max-edge squares (one sharded shape/edge)
+            ra = rb = np.maximum(ea, eb)
+        else:
+            ra, rb = _rect_edges(ea, eb)
+        keys = ra.astype(np.int64) * (1 << 20) + rb
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         jobs = []
-        for le in sorted({int(x) for x in be}):
-            rows = np.flatnonzero(be == le)
-            bs = _batch_shape(len(rows), le, STAGE3_CELLS,
-                              n_dev if self.mesh is not None else 1)
+        for key in sorted({int(x) for x in keys}):
+            lea, leb = key >> 20, key & ((1 << 20) - 1)
+            le = max(lea, leb)
+            rows = np.flatnonzero(keys == key)
+            bs = _batch_shape(len(rows), lea, STAGE3_CELLS,
+                              n_dev if self.mesh is not None else 1,
+                              le_b=leb)
             if self.mesh is not None:
                 fn = _stage3_fn_sharded(
                     self.mesh, self.mesh_axis, le, self.pad_code,
@@ -1403,7 +1455,7 @@ class DeviceSelfSearch:
                         pos += ktier
                         if fnm is None:
                             fnm = _stage3_fn_multi(
-                                le, ktier, self.pad_code,
+                                int(lea), int(leb), ktier, self.pad_code,
                                 float(p.gap_open), float(p.gap_ext),
                                 use_pallas)
                         ia = jnp.asarray(np.stack([g[2] for g in grp]))

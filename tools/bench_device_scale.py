@@ -85,8 +85,8 @@ def stage_split(chains, params):
     plan = pipe.stage1_block_plan()
     n_blocks = sum(len(v) for v in plan.values())
     n_launches = len(plan)
-    cells = sum(len(v) * ca * cb * 2 * le * le  # fwd+rev per pair slot
-                for (le, ca, cb), v in plan.items())
+    cells = sum(len(v) * ca * cb * 2 * lea * leb  # fwd+rev per slot
+                for (lea, leb, ca, cb), v in plan.items())
 
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 2) as tp:
